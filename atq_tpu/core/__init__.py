@@ -1,0 +1,8 @@
+from atq_tpu.core.quantize import adaptive_ternary_quantization, ternarize_ste
+from atq_tpu.core.packing import TernaryBitPacking
+
+__all__ = [
+    "adaptive_ternary_quantization",
+    "ternarize_ste",
+    "TernaryBitPacking",
+]

@@ -1,0 +1,147 @@
+"""Adaptive Ternary Quantization core (TPU-native).
+
+Re-implements the reference quantizer semantics
+(`/root/reference/atq/quantizers.py:7-60`) as a pure JAX function that runs
+entirely on-device at fixed shapes, so it can be called from inside a jitted
+training step every iteration without host synchronization.
+
+Semantics reproduced exactly (see tests/test_quantize.py for golden parity
+against the PyTorch reference):
+
+- threshold index rule: ``idx = int(sparsity_target * n)`` over the ascending
+  sort of |w| (quantizers.py:24-32)
+- edge case ``idx >= n``: threshold = max|w| + 1 (all-zero output,
+  quantizers.py:33-35)
+- edge case ``idx == 0``: classic fallback ``threshold_factor * mean|w|``
+  (quantizers.py:36-38)
+- strict comparisons: +1 where ``w > t``, -1 where ``w < -t``
+  (quantizers.py:41-43)
+- optimal alpha ``sum(w * w_t) / nnz`` with ``mean|w|`` fallback when the
+  ternary pattern is all zeros (quantizers.py:46-55); a caller-provided alpha
+  overrides it (quantizers.py:58-59)
+
+Gradient semantics: the ternary pattern ``w_t`` is built from constant branch
+values of ``jnp.where`` and therefore carries **zero gradient** w.r.t.
+``weights`` — identical to the reference's masked assignment of constants
+(the reference has no straight-through estimator; see SURVEY.md §2.1).
+``ternarize_ste`` provides the STE variant as a documented improvement,
+flag-gated at the layer level.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def adaptive_ternary_quantization(
+    weights: jax.Array,
+    alpha: jax.Array | None = None,
+    threshold_factor: float = 0.05,
+    sparsity_target=0.3,
+):
+    """Sparsity-targeted ternarization of a weight tensor.
+
+    Args:
+        weights: floating-point weight tensor (any shape).
+        alpha: optional scaling factor; if None, the optimal L2-minimizing
+            alpha is computed on-device.
+        threshold_factor: classic-method factor used when the sparsity index
+            degenerates to 0.
+        sparsity_target: target fraction of zeros in [0, 1]; may be a python
+            float or a traced scalar (so per-epoch schedules don't trigger
+            recompilation).
+
+    Returns:
+        (w_ternary, alpha): ternary tensor in {-1, 0, +1} with the same shape
+        and dtype as ``weights``, and the scaling factor.
+    """
+    dtype = weights.dtype
+    abs_w = jnp.abs(weights)
+    flat = abs_w.reshape(-1)
+    n = flat.size  # static under jit
+
+    sorted_w = jnp.sort(flat)
+
+    st = jnp.asarray(sparsity_target, dtype=jnp.float32)
+    # Reference uses python int() which truncates toward zero; sparsity >= 0
+    # so floor is equivalent.
+    idx = jnp.floor(st * jnp.float32(n)).astype(jnp.int32)
+
+    thr_at_idx = sorted_w[jnp.clip(idx, 0, n - 1)]
+    thr_all_zero = sorted_w[n - 1] + jnp.asarray(1.0, dtype)
+    thr_fallback = jnp.asarray(threshold_factor, dtype) * jnp.mean(abs_w)
+    threshold = jnp.where(
+        idx >= n, thr_all_zero, jnp.where(idx > 0, thr_at_idx, thr_fallback)
+    )
+
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0.0, dtype)
+    # Constant branch values => zero gradient to `weights` through w_ternary,
+    # matching the reference's non-differentiable masked assignment.
+    w_ternary = jnp.where(
+        weights > threshold, one, jnp.where(weights < -threshold, -one, zero)
+    )
+
+    nonzero_count = jnp.sum(w_ternary != 0).astype(dtype)
+    # `weights` is intentionally NOT stop-gradiented here: in the reference,
+    # sum(weights * w_t) is differentiable w.r.t. weights when alpha=None.
+    optimal_alpha = jnp.where(
+        nonzero_count > 0,
+        jnp.sum(weights * w_ternary) / jnp.maximum(nonzero_count, one),
+        jnp.mean(abs_w),
+    )
+
+    if alpha is None:
+        alpha = optimal_alpha
+
+    return w_ternary, alpha
+
+
+@jax.custom_vjp
+def _ste_identity(weights: jax.Array, w_ternary: jax.Array) -> jax.Array:
+    return w_ternary
+
+
+def _ste_identity_fwd(weights, w_ternary):
+    return w_ternary, None
+
+
+def _ste_identity_bwd(_, g):
+    # Straight-through: the quantizer behaves as identity in the backward
+    # pass, so the latent weights receive the full upstream gradient.
+    return g, jnp.zeros_like(g)
+
+
+_ste_identity.defvjp(_ste_identity_fwd, _ste_identity_bwd)
+
+
+def ternarize_ste(
+    weights: jax.Array,
+    alpha: jax.Array | None = None,
+    threshold_factor: float = 0.05,
+    sparsity_target=0.3,
+):
+    """ATQ with a straight-through estimator on the ternary pattern.
+
+    This is the documented improvement over the reference's no-STE gradient
+    flow (SURVEY.md §2.1 gradient quirk): the forward pass is bitwise
+    identical to :func:`adaptive_ternary_quantization`, but the backward pass
+    routes the upstream gradient straight through to the latent weights.
+    """
+    w_ternary, alpha = adaptive_ternary_quantization(
+        weights, alpha=alpha, threshold_factor=threshold_factor,
+        sparsity_target=sparsity_target,
+    )
+    return _ste_identity(weights, w_ternary), alpha
+
+
+def ternary_distribution(w_ternary: jax.Array) -> dict:
+    """Fractions of {-1, 0, +1} values — used by training-time introspection
+    (reference: train.py:273-295 weight-distribution report)."""
+    total = w_ternary.size
+    return {
+        "neg": jnp.sum(w_ternary == -1) / total,
+        "zero": jnp.sum(w_ternary == 0) / total,
+        "pos": jnp.sum(w_ternary == 1) / total,
+    }

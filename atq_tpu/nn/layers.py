@@ -1,0 +1,213 @@
+"""Quantized linear layers and selective gradient routing (Flax).
+
+TPU-native re-designs of the reference layer classes:
+
+- :class:`TernaryLinear`       <- /root/reference/atq/layers.py:7-43
+- :class:`ResidualPrecisionBoostLinear`
+                               <- /root/reference/atq/precision_boost.py:9-91
+- :func:`apply_selective_routing` / :func:`selective_gradient_routing`
+                               <- /root/reference/atq/routing.py:4-59
+
+Design notes (see SURVEY.md §2.1):
+
+* Weight layout is (out_features, in_features) — torch's layout — so
+  checkpoints and golden tests line up element-for-element. The matmul is
+  ``x @ w.T`` which XLA lowers to the same MXU contraction either way.
+
+* The per-epoch mutable ``sparsity_target`` lives in a ``'quant'`` variable
+  collection: the trainer overwrites the *values* of that pytree between
+  epochs, which never triggers recompilation (the jitted step sees the same
+  shapes/dtypes every time). This replaces the reference's Python attribute
+  mutation (mixed_precision_atq.py:130-145).
+
+* Gradient semantics default to exact reference parity: in ``TernaryLinear``
+  the latent weight receives ZERO gradient (only alpha/bias train); in
+  ``ResidualPrecisionBoostLinear`` only the masked top-k% entries receive
+  gradient. ``grad_mode='ste'`` enables the straight-through estimator as the
+  documented improvement.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from atq_tpu.core.quantize import adaptive_ternary_quantization, ternarize_ste
+from atq_tpu.nn.initializers import bias_uniform_torch, kaiming_uniform_torch
+
+DEFAULT_SPARSITY = 0.3
+
+
+def apply_selective_routing(x, threshold: float = 0.05,
+                            importance_factor: float = 0.3):
+    """Identity pass-through — the reference's applied routing function is a
+    placeholder that returns its input unchanged (routing.py:4-20). Kept as a
+    named op so model code reads like the reference and the full variant can
+    be swapped in behind a flag."""
+    del threshold, importance_factor
+    return x
+
+
+@jax.custom_vjp
+def _routed_identity(x, importance_factor):
+    return x
+
+
+def _routed_fwd(x, importance_factor):
+    return x, (x, importance_factor)
+
+
+def _routed_bwd(res, g):
+    x, importance_factor = res
+    importance = jnp.abs(x)
+    n = importance.size
+    # torch.kthvalue(k) is the k-th smallest, 1-indexed (routing.py:43-50).
+    k = int((1.0 - importance_factor) * n)
+    if k < n:
+        flat = jnp.sort(importance.reshape(-1))
+        threshold = flat[max(k - 1, 0)]
+    else:
+        threshold = jnp.asarray(0.0, x.dtype)
+    mask = (importance > threshold).astype(g.dtype)
+    return g * mask, None
+
+
+_routed_identity.defvjp(_routed_fwd, _routed_bwd)
+
+
+def selective_gradient_routing(x, threshold: float = 0.05,
+                               importance_factor: float = 0.3):
+    """Full routing variant (reference: routing.py:22-59): identity forward,
+    backward masks gradients to the top ``importance_factor`` fraction of
+    activations by |input|. Not used on the parity path (the reference never
+    calls it), provided for completeness."""
+    del threshold  # unused by the reference backward as well
+    return _routed_identity(x, importance_factor)
+
+
+def _quantize(weight, alpha, sparsity_target, grad_mode: str):
+    if grad_mode == "ste":
+        return ternarize_ste(weight, alpha=alpha,
+                             sparsity_target=sparsity_target)
+    return adaptive_ternary_quantization(weight, alpha=alpha,
+                                         sparsity_target=sparsity_target)
+
+
+class TernaryLinear(nn.Module):
+    """Linear layer over ternarized weights with a learnable scalar alpha.
+
+    Reference: atq/layers.py:7-43. Uses the quantizer *defaults*
+    (sparsity_target=0.3) because the reference forward passes only
+    ``alpha=self.alpha`` (layers.py:37-40), and the driver's schedule pushes
+    never reach it (TernaryLinear has no sparsity_target attribute). Same
+    behavior in train and eval.
+    """
+
+    features: int
+    use_bias: bool = True
+    grad_mode: str = "parity"  # 'parity' | 'ste'
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        weight = self.param(
+            "weight", kaiming_uniform_torch(math.sqrt(5)),
+            (self.features, in_features), self.param_dtype,
+        )
+        alpha = self.param("alpha", nn.initializers.ones, (1,),
+                           self.param_dtype)
+
+        w_ternary, a = _quantize(weight, alpha, DEFAULT_SPARSITY,
+                                 self.grad_mode)
+        w_eff = w_ternary * a
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            w_eff = w_eff.astype(self.dtype)
+        y = jnp.matmul(x, w_eff.T)
+        if self.use_bias:
+            bias = self.param("bias", bias_uniform_torch(in_features),
+                              (self.features,), self.param_dtype)
+            y = y + bias
+        return y
+
+
+def _precision_mask(weight: jax.Array, precision_ratio: float) -> jax.Array:
+    """Fixed binary mask marking the top ``precision_ratio`` fraction of |w|
+    at init (reference: precision_boost.py:49-60). Non-learnable; per-epoch
+    precision_ratio updates in the reference never recompute it."""
+    flat = jnp.abs(weight).reshape(-1)
+    k = int(precision_ratio * flat.size)
+    mask = jnp.zeros_like(flat)
+    if k > 0:
+        _, idx = jax.lax.top_k(flat, k)
+        mask = mask.at[idx].set(1.0)
+    return mask.reshape(weight.shape)
+
+
+class ResidualPrecisionBoostLinear(nn.Module):
+    """TernaryLinear plus a fixed full-precision residual on critical weights.
+
+    Reference: atq/precision_boost.py:9-91. Forward computes
+    ``w_mixed = w_ternary * alpha * (1 - mask) + weight * mask`` so the masked
+    top-k% of weights stay (and train in) full precision; everything else is
+    frozen ternary (parity grad mode).
+
+    ``sparsity_target`` is a mutable scalar in the 'quant' collection so
+    schedules (core/schedules.py) update it without recompiling.
+    """
+
+    features: int
+    precision_ratio: float = 0.05
+    use_bias: bool = True
+    sparsity_target: float = DEFAULT_SPARSITY
+    grad_mode: str = "parity"
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        weight = self.param(
+            "weight", kaiming_uniform_torch(math.sqrt(5)),
+            (self.features, in_features), self.param_dtype,
+        )
+        alpha = self.param("alpha", nn.initializers.ones, (1,),
+                           self.param_dtype)
+        mask_var = self.variable(
+            "quant", "precision_mask",
+            lambda: _precision_mask(weight, self.precision_ratio),
+        )
+        sparsity_var = self.variable(
+            "quant", "sparsity_target",
+            lambda: jnp.asarray(self.sparsity_target, jnp.float32),
+        )
+
+        mask = mask_var.value
+        w_ternary, a = _quantize(weight, alpha, sparsity_var.value,
+                                 self.grad_mode)
+        w_mixed = w_ternary * a * (1.0 - mask) + weight * mask
+
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            w_mixed = w_mixed.astype(self.dtype)
+        y = jnp.matmul(x, w_mixed.T)
+        if self.use_bias:
+            bias = self.param("bias", bias_uniform_torch(in_features),
+                              (self.features,), self.param_dtype)
+            y = y + bias
+        return y
+
+    @staticmethod
+    def quantized_weights(params: dict, quant: dict):
+        """Ternary weights + alpha for analysis/bit-packing, computed from a
+        layer's param/quant pytrees (reference: precision_boost.py:76-91)."""
+        return adaptive_ternary_quantization(
+            params["weight"], alpha=params["alpha"],
+            sparsity_target=quant["sparsity_target"],
+        )

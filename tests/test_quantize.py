@@ -1,0 +1,141 @@
+"""Golden parity tests for the ATQ quantizer against the PyTorch reference.
+
+Covers the decision rules at /root/reference/atq/quantizers.py:24-59 incl.
+the idx==0 and idx>=n edge cases and both alpha paths, on shared fp32 inputs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atq_tpu.core.quantize import (
+    adaptive_ternary_quantization,
+    ternarize_ste,
+    ternary_distribution,
+)
+
+
+def _torch_atq(ref, w_np, alpha=None, sparsity_target=0.3):
+    import torch
+
+    w = torch.tensor(w_np)
+    a = None if alpha is None else torch.tensor(alpha)
+    w_t, out_alpha = ref["quantizers"].adaptive_ternary_quantization(
+        w, alpha=a, sparsity_target=sparsity_target
+    )
+    return w_t.numpy(), np.asarray(out_alpha.detach() if hasattr(out_alpha, "detach") else out_alpha)
+
+
+@pytest.mark.parametrize("shape", [(16, 8), (128, 64), (57, 3)])
+@pytest.mark.parametrize("sparsity", [0.0, 0.05, 0.3, 0.7, 0.999])
+def test_bitwise_parity_computed_alpha(reference_modules, shape, sparsity):
+    rng = np.random.RandomState(hash((shape, int(sparsity * 1000))) % 2**31)
+    w = rng.randn(*shape).astype(np.float32)
+
+    ref_wt, ref_alpha = _torch_atq(reference_modules, w,
+                                   sparsity_target=sparsity)
+    jax_wt, jax_alpha = adaptive_ternary_quantization(
+        jnp.asarray(w), sparsity_target=sparsity
+    )
+
+    np.testing.assert_array_equal(np.asarray(jax_wt), ref_wt)
+    np.testing.assert_allclose(np.asarray(jax_alpha), ref_alpha, rtol=1e-5)
+
+
+def test_bitwise_parity_provided_alpha(reference_modules):
+    rng = np.random.RandomState(0)
+    w = rng.randn(64, 32).astype(np.float32)
+    alpha = np.asarray([1.7], dtype=np.float32)
+
+    ref_wt, ref_alpha = _torch_atq(reference_modules, w, alpha=alpha)
+    jax_wt, jax_alpha = adaptive_ternary_quantization(
+        jnp.asarray(w), alpha=jnp.asarray(alpha)
+    )
+    np.testing.assert_array_equal(np.asarray(jax_wt), ref_wt)
+    np.testing.assert_allclose(np.asarray(jax_alpha), ref_alpha)
+
+
+def test_sparsity_one_gives_all_zero(reference_modules):
+    """idx >= n edge case: threshold = max + 1 -> all zeros
+    (quantizers.py:33-35), and alpha falls back to mean|w|."""
+    w = np.random.RandomState(1).randn(10, 10).astype(np.float32)
+    ref_wt, ref_alpha = _torch_atq(reference_modules, w, sparsity_target=1.0)
+    jax_wt, jax_alpha = adaptive_ternary_quantization(
+        jnp.asarray(w), sparsity_target=1.0
+    )
+    assert np.all(np.asarray(jax_wt) == 0)
+    np.testing.assert_array_equal(np.asarray(jax_wt), ref_wt)
+    np.testing.assert_allclose(np.asarray(jax_alpha), ref_alpha, rtol=1e-6)
+
+
+def test_sparsity_zero_uses_classic_fallback(reference_modules):
+    """idx == 0 edge case: threshold = 0.05 * mean|w| (quantizers.py:36-38)."""
+    w = np.random.RandomState(2).randn(8, 4).astype(np.float32)
+    ref_wt, _ = _torch_atq(reference_modules, w, sparsity_target=0.0)
+    jax_wt, _ = adaptive_ternary_quantization(jnp.asarray(w),
+                                              sparsity_target=0.0)
+    np.testing.assert_array_equal(np.asarray(jax_wt), ref_wt)
+
+
+def test_traced_sparsity_no_recompile():
+    """sparsity_target as a traced scalar must work under jit so per-epoch
+    schedule updates don't recompile."""
+    w = jnp.asarray(np.random.RandomState(3).randn(32, 16).astype(np.float32))
+
+    @jax.jit
+    def quant(sparsity):
+        return adaptive_ternary_quantization(w, sparsity_target=sparsity)
+
+    wt1, _ = quant(jnp.float32(0.1))
+    wt2, _ = quant(jnp.float32(0.6))
+    s1 = float(jnp.mean(wt1 == 0))
+    s2 = float(jnp.mean(wt2 == 0))
+    assert s2 > s1  # higher sparsity target -> more zeros
+
+
+def test_parity_grad_is_zero_to_weights():
+    """With provided alpha, d(output)/d(weights) must be exactly zero —
+    the reference's no-STE semantics (SURVEY.md §2.1 gradient quirk)."""
+    w = jnp.asarray(np.random.RandomState(4).randn(16, 8).astype(np.float32))
+    alpha = jnp.ones((1,))
+
+    def loss(w):
+        wt, a = adaptive_ternary_quantization(w, alpha=alpha)
+        return jnp.sum(wt * a)
+
+    g = jax.grad(loss)(w)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_ste_grad_passes_through():
+    w = jnp.asarray(np.random.RandomState(5).randn(16, 8).astype(np.float32))
+    alpha = jnp.ones((1,))
+
+    def loss(w):
+        wt, a = ternarize_ste(w, alpha=alpha)
+        return jnp.sum(wt * a)
+
+    g = jax.grad(loss)(w)
+    np.testing.assert_array_equal(np.asarray(g), 1.0)
+
+
+def test_computed_alpha_grad_flows_to_weights():
+    """When alpha=None, the reference's optimal_alpha = sum(w*w_t)/nnz is
+    differentiable w.r.t. weights; our version must match that topology."""
+    w = jnp.asarray(np.random.RandomState(6).randn(16, 8).astype(np.float32))
+
+    def loss(w):
+        _, a = adaptive_ternary_quantization(w)
+        return a
+
+    g = np.asarray(jax.grad(loss)(w))
+    assert np.any(g != 0)
+
+
+def test_distribution_helper():
+    wt = jnp.asarray([[-1.0, 0.0], [1.0, 0.0]])
+    d = ternary_distribution(wt)
+    assert float(d["zero"]) == 0.5
+    assert float(d["neg"]) == 0.25
+    assert float(d["pos"]) == 0.25
