@@ -1,0 +1,449 @@
+"""Classification training pipeline (Fashion-MNIST / MNIST).
+
+Re-implements the reference driver /root/reference/train.py:16-409 as a
+single jitted train step over a device mesh:
+
+- the ATQ model and the full-precision baseline teacher are co-trained in
+  ONE compiled step (the reference runs two separate fwd/bwd per batch);
+- progressive sparsity ``0.05 + (target - 0.05) * min(1, e / (0.7 E))``
+  (train.py:138) is a host-side scalar written into the 'quant' collection
+  every epoch — values only, no recompilation;
+- knowledge distillation: T=4, loss = 0.7 CE + 0.3 KD (train.py:174-192);
+- progressive L1 with weight ``l1_factor * min(1, e / (0.5 E))``
+  (train.py:144, :194-203) over non-BN weight matrices;
+- optional per-step warmup-cosine LR (floor 0.1) or per-epoch StepLR
+  (gamma 0.5, step epochs//4);
+- optional global-norm gradient clipping at 1.0.
+
+Data parallelism: batches are sharded over the mesh 'data' axis; parameters
+are replicated; XLA GSPMD inserts the gradient all-reduce. The same step
+runs on 1 chip or a slice.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from atq_tpu.core.quantize import adaptive_ternary_quantization
+from atq_tpu.models.image_classifier import (
+    ATQImageClassifier,
+    BaselineCNNClassifier,
+)
+from atq_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from atq_tpu.train.schedules_lr import (
+    step_lr_schedule,
+    warmup_cosine_schedule,
+)
+
+
+@dataclasses.dataclass
+class ClassifierConfig:
+    """Typed config backing the train.py argparse surface flag-for-flag
+    (reference train.py:411-429)."""
+
+    dataset: str = "fashion_mnist"
+    batch_size: int = 256
+    learning_rate: float = 1e-3
+    epochs: int = 20
+    use_rpb: bool = False
+    distill: bool = False
+    sparsity: float = 0.3
+    wider_layers: bool = False
+    use_cosine_lr: bool = False
+    l1_factor: float = 1e-5
+    use_l1: bool = False
+    clip_grad: bool = False
+    bit_packing: bool = False
+    # Framework extensions (not in the reference surface):
+    data_dir: str = "./data"
+    checkpoint_dir: str = "checkpoints"
+    plots_dir: str = "plots"
+    grad_mode: str = "parity"
+    seed: int = 0
+    dp: Optional[int] = None  # data-parallel size; None = all devices
+
+
+def _l1_penalty(params) -> jax.Array:
+    """L1 over weight matrices, excluding BatchNorm (train.py:194-203:
+    'weight' in name and 'bn' not in name)."""
+    total = jnp.asarray(0.0, jnp.float32)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        if any("bn" in str(k) for k in keys):
+            continue
+        if str(keys[-1]) in ("weight", "kernel"):
+            total = total + jnp.sum(jnp.abs(leaf))
+    return total
+
+
+def _set_all_sparsity(quant, value: float):
+    """Push one sparsity value into every layer that has the knob —
+    the reference's `for m in modules: if hasattr(m,'sparsity_target')`
+    walk (train.py:146-149)."""
+    def update(node):
+        if isinstance(node, dict):
+            return {
+                k: (jnp.asarray(value, jnp.float32)
+                    if k == "sparsity_target" else update(v))
+                for k, v in node.items()
+            }
+        return node
+
+    return update(quant)
+
+
+def _cross_entropy(logits, labels):
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+
+
+def _kd_loss(student_logits, teacher_logits, temperature: float = 4.0):
+    """KL(softmax(teacher/T) || softmax(student/T)) * T^2, batchmean
+    (train.py:176-189)."""
+    t = jax.nn.softmax(teacher_logits / temperature, axis=-1)
+    log_s = jax.nn.log_softmax(student_logits / temperature, axis=-1)
+    log_t = jax.nn.log_softmax(teacher_logits / temperature, axis=-1)
+    return jnp.mean(jnp.sum(t * (log_t - log_s), axis=-1)) * temperature ** 2
+
+
+def make_optimizer(cfg: ClassifierConfig, steps_per_epoch: int,
+                   weight_decay: float = 0.0):
+    if cfg.use_cosine_lr:
+        total_steps = steps_per_epoch * cfg.epochs
+        schedule = warmup_cosine_schedule(cfg.learning_rate,
+                                          total_steps // 10, total_steps)
+    else:
+        schedule = step_lr_schedule(cfg.learning_rate, steps_per_epoch,
+                                    cfg.epochs // 4)
+    chain = []
+    if cfg.clip_grad:
+        chain.append(optax.clip_by_global_norm(1.0))
+    if weight_decay:
+        # torch Adam's weight_decay adds an L2 term to the gradient BEFORE
+        # the moment updates (train.py:66-70) — not decoupled AdamW.
+        chain.append(optax.add_decayed_weights(weight_decay))
+    chain.append(optax.adam(schedule))
+    return optax.chain(*chain)
+
+
+def build_train_step(atq_model, base_model, atq_tx, base_tx,
+                     cfg: ClassifierConfig):
+    """One compiled step training BOTH models (teacher first, then student
+    with optional distillation from the teacher's pre-update logits)."""
+
+    def train_step(state: Dict[str, Any], batch, sparsity_unused,
+                   l1_weight, rng):
+        images, labels = batch
+        drop_rng = jax.random.fold_in(rng, state["step"])
+
+        # --- baseline (teacher) ---
+        def base_loss_fn(p):
+            logits, mutated = base_model.apply(
+                {"params": p, "batch_stats": state["base_batch_stats"]},
+                images, train=True, rngs={"dropout": drop_rng},
+                mutable=["batch_stats"],
+            )
+            return _cross_entropy(logits, labels), (logits, mutated)
+
+        (base_loss, (base_logits, base_mut)), base_grads = (
+            jax.value_and_grad(base_loss_fn, has_aux=True)(
+                state["base_params"]
+            )
+        )
+        base_updates, base_opt_state = base_tx.update(
+            base_grads, state["base_opt_state"], state["base_params"]
+        )
+        base_params = optax.apply_updates(state["base_params"], base_updates)
+
+        # --- ATQ (student) ---
+        def atq_loss_fn(p):
+            logits, mutated = atq_model.apply(
+                {"params": p, "quant": state["quant"],
+                 "batch_stats": state["atq_batch_stats"]},
+                images, train=True, rngs={"dropout": drop_rng},
+                mutable=["batch_stats"],
+            )
+            loss = _cross_entropy(logits, labels)
+            if cfg.distill:
+                loss = 0.7 * loss + 0.3 * _kd_loss(
+                    logits, jax.lax.stop_gradient(base_logits)
+                )
+            if cfg.use_l1:
+                loss = loss + l1_weight * _l1_penalty(p)
+            return loss, (logits, mutated)
+
+        (atq_loss, (atq_logits, atq_mut)), atq_grads = (
+            jax.value_and_grad(atq_loss_fn, has_aux=True)(
+                state["atq_params"]
+            )
+        )
+        atq_updates, atq_opt_state = atq_tx.update(
+            atq_grads, state["atq_opt_state"], state["atq_params"]
+        )
+        atq_params = optax.apply_updates(state["atq_params"], atq_updates)
+
+        new_state = {
+            **state,
+            "base_params": base_params,
+            "base_opt_state": base_opt_state,
+            "base_batch_stats": base_mut["batch_stats"],
+            "atq_params": atq_params,
+            "atq_opt_state": atq_opt_state,
+            "atq_batch_stats": atq_mut["batch_stats"],
+            "step": state["step"] + 1,
+        }
+        metrics = {
+            "loss": atq_loss,
+            "base_loss": base_loss,
+            "atq_correct": jnp.sum(jnp.argmax(atq_logits, -1) == labels),
+            "base_correct": jnp.sum(jnp.argmax(base_logits, -1) == labels),
+            "count": jnp.asarray(labels.shape[0], jnp.int32),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def build_eval_step(model, params_key: str, stats_key: str):
+    def eval_step(state, batch):
+        images, labels = batch
+        logits = model.apply(
+            {"params": state[params_key], "quant": state.get("quant", {}),
+             "batch_stats": state[stats_key]},
+            images, train=False,
+        )
+        return {
+            "loss": _cross_entropy(logits, labels)
+            * jnp.asarray(labels.shape[0], jnp.float32),
+            "correct": jnp.sum(jnp.argmax(logits, -1) == labels),
+            "count": jnp.asarray(labels.shape[0], jnp.int32),
+        }
+
+    return eval_step
+
+
+def _run_eval(eval_fn, state, loader):
+    totals = {"loss": 0.0, "correct": 0, "count": 0}
+    for batch in loader:
+        m = jax.device_get(eval_fn(state, batch))
+        for k in totals:
+            totals[k] += float(m[k])
+    acc = 100.0 * totals["correct"] / max(1, totals["count"])
+    return acc, totals["loss"] / max(1, totals["count"])
+
+
+def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
+    """Full training run; returns (final_state, results dict)."""
+    from atq_tpu.data.mnist import get_fashion_mnist_data, get_mnist_data
+
+    if loaders is None:
+        if cfg.dataset == "mnist":
+            loaders = get_mnist_data(cfg.batch_size, cfg.data_dir,
+                                     subset_fraction=1.0)
+        elif cfg.dataset == "fashion_mnist":
+            loaders = get_fashion_mnist_data(cfg.batch_size, cfg.data_dir,
+                                             subset_fraction=1.0)
+        else:
+            raise ValueError(f"Unknown dataset: {cfg.dataset}")
+    train_loader, val_loader, test_loader = loaders
+
+    hidden_size = 256 if cfg.wider_layers else 128
+    atq_model = ATQImageClassifier(
+        num_classes=10, input_channels=1, use_rpb=cfg.use_rpb,
+        sparsity_target=cfg.sparsity, hidden_size=hidden_size,
+        grad_mode=cfg.grad_mode,
+    )
+    base_model = BaselineCNNClassifier(hidden_size=hidden_size)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample = jnp.zeros((2, 28, 28, 1), jnp.float32)
+    atq_vars = atq_model.init(rng, sample)
+    base_vars = base_model.init(jax.random.fold_in(rng, 1), sample)
+
+    steps_per_epoch = len(train_loader)
+    atq_tx = make_optimizer(cfg, steps_per_epoch, weight_decay=1e-4)
+    base_tx = make_optimizer(cfg, steps_per_epoch)
+
+    mesh = make_mesh(dp=cfg.dp)
+    state = {
+        "atq_params": atq_vars["params"],
+        "quant": atq_vars.get("quant", {}),
+        "atq_batch_stats": atq_vars.get("batch_stats", {}),
+        "atq_opt_state": atq_tx.init(atq_vars["params"]),
+        "base_params": base_vars["params"],
+        "base_batch_stats": base_vars.get("batch_stats", {}),
+        "base_opt_state": base_tx.init(base_vars["params"]),
+        "step": jnp.asarray(0, jnp.int32),
+    }
+    state = replicate(state, mesh)
+
+    train_step = jax.jit(
+        build_train_step(atq_model, base_model, atq_tx, base_tx, cfg),
+        donate_argnums=(0,),
+    )
+    atq_eval = jax.jit(build_eval_step(atq_model, "atq_params",
+                                       "atq_batch_stats"))
+    base_eval = jax.jit(build_eval_step(base_model, "base_params",
+                                        "base_batch_stats"))
+
+    initial_sparsity, final_sparsity = 0.05, cfg.sparsity
+    best_val_acc = 0.0
+    results = {
+        "train_accuracies": [], "val_accuracies": [],
+        "sparsity_schedule": [], "imgs_per_sec": [],
+    }
+    os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+    best_params = None
+
+    step_rng = jax.random.PRNGKey(cfg.seed + 17)
+    for epoch in range(cfg.epochs):
+        current_sparsity = initial_sparsity + (
+            final_sparsity - initial_sparsity
+        ) * min(1.0, epoch / (cfg.epochs * 0.7))
+        results["sparsity_schedule"].append(current_sparsity)
+        l1_weight = cfg.l1_factor * min(1.0, epoch / (cfg.epochs * 0.5))
+
+        if cfg.use_rpb:
+            state["quant"] = _set_all_sparsity(
+                jax.device_get(state["quant"]), current_sparsity
+            )
+            state["quant"] = replicate(state["quant"], mesh)
+
+        totals = {"atq_correct": 0, "base_correct": 0, "count": 0,
+                  "loss": 0.0}
+        t0 = time.time()
+        n_batches = 0
+        for batch in train_loader:
+            batch = shard_batch(batch, mesh)
+            state, metrics = train_step(
+                state, batch, current_sparsity, l1_weight, step_rng
+            )
+            n_batches += 1
+            m = jax.device_get(metrics)
+            for k in ("atq_correct", "base_correct", "count"):
+                totals[k] += int(m[k])
+            totals["loss"] += float(m["loss"])
+        jax.block_until_ready(state["atq_params"])
+        epoch_time = time.time() - t0
+        imgs_per_sec = totals["count"] / max(epoch_time, 1e-9)
+        results["imgs_per_sec"].append(imgs_per_sec)
+
+        train_acc = 100.0 * totals["atq_correct"] / max(1, totals["count"])
+        base_acc = 100.0 * totals["base_correct"] / max(1, totals["count"])
+        results["train_accuracies"].append(train_acc)
+
+        val_acc, _ = _run_eval(atq_eval, state, val_loader)
+        results["val_accuracies"].append(val_acc)
+        if verbose:
+            print(f"Epoch {epoch + 1}/{cfg.epochs} | ATQ {train_acc:.1f}% | "
+                  f"Base {base_acc:.1f}% | "
+                  f"Loss {totals['loss'] / max(1, n_batches):.3f} | "
+                  f"Val {val_acc:.1f}% | Sparsity {current_sparsity:.2f} | "
+                  f"{imgs_per_sec:.0f} imgs/s | {epoch_time:.1f}s")
+
+        # Ternary weight-distribution report every 5 epochs (train.py:273-295)
+        if cfg.use_rpb and (epoch + 1) % 5 == 0 and verbose:
+            params = jax.device_get(state["atq_params"])
+            quant = jax.device_get(state["quant"])
+            layer_p = params["classifier_0"]
+            layer_q = quant["classifier_0"]
+            w_t, _ = adaptive_ternary_quantization(
+                layer_p["weight"], alpha=layer_p["alpha"],
+                sparsity_target=layer_q["sparsity_target"],
+            )
+            total = w_t.size
+            print("Weight distribution: "
+                  f"-1: {100 * float(jnp.sum(w_t == -1)) / total:.1f}% | "
+                  f"0: {100 * float(jnp.sum(w_t == 0)) / total:.1f}% | "
+                  f"+1: {100 * float(jnp.sum(w_t == 1)) / total:.1f}%")
+
+        if val_acc > best_val_acc:
+            best_val_acc = val_acc
+            best_params = jax.device_get(
+                {"params": state["atq_params"], "quant": state["quant"],
+                 "batch_stats": state["atq_batch_stats"]}
+            )
+            _save_checkpoint(best_params, os.path.join(
+                cfg.checkpoint_dir, f"atq_model_{cfg.dataset}.npz"
+            ))
+            if verbose:
+                print(f"Model saved with accuracy: {best_val_acc:.1f}%")
+
+    test_acc, _ = _run_eval(atq_eval, state, test_loader)
+    base_test_acc, _ = _run_eval(base_eval, state, test_loader)
+    results.update({
+        "test_acc": test_acc,
+        "baseline_test_acc": base_test_acc,
+        "best_val_acc": best_val_acc,
+        "mean_imgs_per_sec": float(np.mean(results["imgs_per_sec"][1:])
+                                   if len(results["imgs_per_sec"]) > 1
+                                   else results["imgs_per_sec"][0]),
+    })
+    if verbose:
+        print(f"ATQ Test Accuracy: {test_acc:.1f}%")
+        print(f"Baseline Test Accuracy: {base_test_acc:.1f}%")
+    return state, results
+
+
+def _save_checkpoint(tree, path: str):
+    """Flat .npz checkpoint. Dict keys become '/'-joined paths; arbitrary
+    pytree nodes (optax namedtuples, tuples) are handled via jax key paths."""
+    flat = {}
+    for key_path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        if leaf is None:
+            continue
+        name = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
+            for p in key_path
+        )
+        flat[name] = np.asarray(leaf)
+    np.savez(path, **flat)
+
+
+def load_checkpoint(path: str, template=None):
+    """Load a .npz checkpoint.
+
+    Without a template, rebuilds a nested dict keyed by path segments
+    (enough for params / quant / batch_stats). With a template pytree
+    (e.g. ``tx.init(params)``), restores the exact structure by matching
+    key paths — use this to resume optimizer state.
+    """
+    data = np.load(path)
+    if template is not None:
+        by_path = {}
+        for key_path, _leaf in jax.tree_util.tree_leaves_with_path(template):
+            name = "/".join(
+                str(getattr(p, "key",
+                            getattr(p, "idx", getattr(p, "name", p))))
+                for p in key_path
+            )
+            by_path[name] = None
+        leaves = []
+        for key_path, leaf in jax.tree_util.tree_leaves_with_path(template):
+            name = "/".join(
+                str(getattr(p, "key",
+                            getattr(p, "idx", getattr(p, "name", p))))
+                for p in key_path
+            )
+            leaves.append(jnp.asarray(data[name])
+                          if name in data.files else leaf)
+        treedef = jax.tree_util.tree_structure(template)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    tree: dict = {}
+    for key in data.files:
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(data[key])
+    return tree

@@ -1,0 +1,522 @@
+"""Flickr8k image-text retrieval training pipeline.
+
+Re-implements the reference driver
+/root/reference/train_multimodal.py:244-819 as jitted steps over a device
+mesh. Semantics preserved:
+
+- HardNegativeMiningInfoNCE + curriculum manager with per-epoch temperature
+  annealing (the scheduled temperature is passed into the jitted step as a
+  traced scalar — no recompilation);
+- GradualQuantizationScheduler (--gradual_quant) or the model's own
+  set_epoch cascade. Quirk kept: without --gradual_quant, the cascade's only
+  *effective* ramps are text_projector / image_projector (every encoder was
+  constructed with its initial sparsity as its target, so its internal ramp
+  is constant — multimodal_classifier.py:121-209);
+- the distillation branch computes KL between a similarity matrix and its
+  own detached softmax (train_multimodal.py:504-524) — mathematically zero
+  with zero gradient; reproduced faithfully rather than 'fixed';
+- EMA model (decay 0.999), warmup-cosine LR (floor 0.05), AdamW/SGD/Adam
+  with betas (0.9, 0.98);
+- checkpoint formats: best_model / best_ema_model / final_model, periodic
+  full checkpoint dicts, training_history.json, final_report.json.
+
+TPU-native: --use_amp maps to bfloat16 compute (the TPU-native mixed
+precision) instead of torch.cuda.amp; the reference's OOM-catch/skip-batch
+and empty_cache() workarounds have no TPU analog and are intentionally
+omitted (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from atq_tpu.core.schedules import (
+    GradualQuantizationScheduler,
+    epoch_progress,
+    set_quant_sparsity,
+)
+from atq_tpu.losses.contrastive import (
+    ContrastiveLearningManager,
+    HardNegativeMiningInfoNCE,
+)
+from atq_tpu.models.retrieval import ATQMultimodalRetrieval, get_model_size_info
+from atq_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from atq_tpu.train.classifier import _save_checkpoint, load_checkpoint
+from atq_tpu.train.retrieval_metrics import compute_retrieval_metrics
+from atq_tpu.train.schedules_lr import warmup_cosine_schedule
+
+
+@dataclasses.dataclass
+class RetrievalConfig:
+    """Typed config backing the train_multimodal.py argparse surface
+    (reference train_multimodal.py:822-872)."""
+
+    seed: int = 42
+    use_cuda: bool = False
+    device: str = "tpu"
+    output_dir: str = "./outputs/retrieval"
+    verbose: bool = False
+    num_workers: int = 2
+    batch_size: int = 16
+    max_seq_length: int = 50
+    image_size: int = 160
+    embed_dim: int = 192
+    hidden_dim: int = 384
+    vision_sparsity: float = 0.3
+    text_sparsity: float = 0.2
+    use_residual: bool = False
+    reinit_model: bool = False
+    gradual_quant: bool = False
+    warmup_epochs: int = 2
+    epochs: int = 10
+    learning_rate: float = 5e-5
+    weight_decay: float = 1e-4
+    optimizer: str = "adamw"
+    clip_grad: bool = False
+    modality_dropout: float = 0.1
+    checkpoint_freq: int = 2
+    contrastive_reg: float = 0.02
+    use_amp: bool = False
+    use_ema: bool = False
+    train_baseline: bool = False
+    distill: bool = False
+    distill_weight: float = 0.3
+    grad_checkpointing: bool = False  # parsed, unused — reference parity
+    # Framework extensions:
+    data_dir: str = "./data/flickr8k"
+    grad_mode: str = "parity"
+    dp: Optional[int] = None
+    synthetic_images: int = 400
+
+
+def reinit_params(params, rng):
+    """--reinit_model initialization (train_multimodal.py:292-307):
+    embedding -> N(0, 0.02); >=2-D weights -> xavier_uniform(gain=0.8);
+    other 1-D weights -> N(0, 0.02); biases -> 0. LayerNorm scales and
+    gates/alphas/scalars are left untouched (torch walks 'weight'/'bias'
+    names; those params are named neither)."""
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    new = {}
+
+    def set_in(tree, path_keys, value):
+        node = tree
+        for k in path_keys[:-1]:
+            node = node.setdefault(k, {})
+        node[path_keys[-1]] = value
+
+    for i, (path, leaf) in enumerate(leaves):
+        keys = [str(getattr(p, "key", p)) for p in path]
+        name = keys[-1]
+        key_rng = jax.random.fold_in(rng, i)
+        if name == "embedding":
+            value = 0.02 * jax.random.normal(key_rng, leaf.shape, leaf.dtype)
+        elif name in ("weight", "kernel") and leaf.ndim >= 2:
+            fan_in = leaf.shape[-1]
+            fan_out = int(np.prod(leaf.shape[:-1]))
+            if name == "kernel" and leaf.ndim > 2:  # conv HWIO
+                rf = int(np.prod(leaf.shape[:-2]))
+                fan_in = leaf.shape[-2] * rf
+                fan_out = leaf.shape[-1] * rf
+            bound = 0.8 * np.sqrt(6.0 / (fan_in + fan_out))
+            value = jax.random.uniform(key_rng, leaf.shape, leaf.dtype,
+                                       -bound, bound)
+        elif name in ("weight", "kernel"):
+            value = 0.02 * jax.random.normal(key_rng, leaf.shape, leaf.dtype)
+        elif name == "bias":
+            value = jnp.zeros_like(leaf)
+        else:
+            value = leaf
+        set_in(new, keys, value)
+    return new
+
+
+def retrieval_sparsity_plan(cfg: RetrievalConfig) -> Dict[str, tuple]:
+    """The model's effective set_epoch ramps (see module docstring quirk)."""
+    return {
+        "text_projector": (min(0.1, cfg.text_sparsity), cfg.text_sparsity),
+        "image_projector": (min(0.1, cfg.vision_sparsity),
+                            cfg.vision_sparsity),
+    }
+
+
+def make_retrieval_optimizer(cfg: RetrievalConfig, steps_per_epoch: int):
+    total_steps = cfg.epochs * steps_per_epoch
+    schedule = warmup_cosine_schedule(
+        cfg.learning_rate, int(total_steps * 0.1), total_steps,
+        min_factor=0.05,
+    )
+    chain = []
+    if cfg.clip_grad:
+        chain.append(optax.clip_by_global_norm(1.0))
+    if cfg.optimizer == "adamw":
+        chain.append(optax.adamw(schedule, b1=0.9, b2=0.98,
+                                 weight_decay=cfg.weight_decay))
+    elif cfg.optimizer == "sgd":
+        chain.append(optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.sgd(schedule, momentum=0.9),
+        ))
+    else:
+        chain.append(optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.scale_by_adam(b1=0.9, b2=0.98),
+            optax.scale_by_learning_rate(schedule),
+        ))
+    return optax.chain(*chain)
+
+
+def build_retrieval_train_step(model, tx, criterion, cl_manager,
+                               cfg: RetrievalConfig):
+    """One jitted step: embeddings -> curriculum-weighted hard-negative
+    InfoNCE -> update (+ EMA). curriculum_stage is a static python int per
+    epoch (3 stages -> at most 3 compiles)."""
+
+    def train_step(state, batch, temperature, curriculum_stage, rng):
+        images, captions, lengths = batch
+        drop_rng = jax.random.fold_in(rng, state["step"])
+
+        def loss_fn(p):
+            (img_emb, txt_emb), mutated = model.apply(
+                {"params": p, "quant": state["quant"],
+                 "batch_stats": state["batch_stats"]},
+                images, captions, lengths, return_embeddings=True,
+                train=True, rngs={"dropout": drop_rng},
+                mutable=["batch_stats"],
+            )
+            from atq_tpu.models.fusion import l2_normalize
+
+            similarity = jnp.matmul(l2_normalize(img_emb, axis=1),
+                                    l2_normalize(txt_emb, axis=1).T)
+            cl_manager.curriculum_stage = curriculum_stage
+            weights = cl_manager.get_curriculum_weight(similarity)
+            loss = criterion(img_emb, txt_emb, weights,
+                             temperature=temperature)
+            return loss, mutated
+
+        (loss, mutated), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state["params"])
+        updates, opt_state = tx.update(grads, state["opt_state"],
+                                       state["params"])
+        params = optax.apply_updates(state["params"], updates)
+
+        new_state = {
+            **state,
+            "params": params,
+            "opt_state": opt_state,
+            "batch_stats": mutated["batch_stats"],
+            "step": state["step"] + 1,
+        }
+        if cfg.use_ema:
+            decay = 0.999
+            new_state["ema_params"] = jax.tree_util.tree_map(
+                lambda e, p: e * decay + p * (1 - decay),
+                state["ema_params"], params,
+            )
+        return new_state, loss
+
+    return train_step
+
+
+def build_embed_fn(model):
+    def embed(state, batch, use_ema: bool = False):
+        images, captions, lengths = batch
+        params = state["ema_params"] if use_ema else state["params"]
+        return model.apply(
+            {"params": params, "quant": state["quant"],
+             "batch_stats": state["batch_stats"]},
+            images, captions, lengths, return_embeddings=True, train=False,
+        )
+
+    return embed
+
+
+def evaluate_model(embed_fn, state, loader, topk=(1, 5, 10),
+                   use_ema: bool = False):
+    """Batched embedding extraction -> full similarity matrix -> R@K
+    (reference train_multimodal.py:197-241)."""
+    all_img, all_txt = [], []
+    for batch in loader:
+        img, txt = embed_fn(state, batch, use_ema)
+        all_img.append(jax.device_get(img))
+        all_txt.append(jax.device_get(txt))
+    all_img = np.concatenate(all_img, axis=0)
+    all_txt = np.concatenate(all_txt, axis=0)
+    similarity = all_img @ all_txt.T
+    return compute_retrieval_metrics(similarity, topk=list(topk))
+
+
+def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
+    from atq_tpu.data.flickr8k import prepare_flickr8k_dataloaders
+
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    np.random.seed(cfg.seed)
+
+    if loaders is None:
+        loaders = prepare_flickr8k_dataloaders(
+            batch_size=cfg.batch_size, image_size=cfg.image_size,
+            max_length=cfg.max_seq_length, tokenize_captions=True,
+            num_workers=cfg.num_workers, root_dir=cfg.data_dir,
+            synthetic_images=cfg.synthetic_images,
+        )
+    train_loader, val_loader, test_loader, vocab_size, word_to_idx = loaders
+
+    model = ATQMultimodalRetrieval(
+        vocab_size=vocab_size, embed_dim=cfg.embed_dim,
+        hidden_dim=cfg.hidden_dim, vision_threshold=cfg.vision_sparsity,
+        text_threshold=cfg.text_sparsity, use_residual=cfg.use_residual,
+        grad_mode=cfg.grad_mode, max_seq_length=cfg.max_seq_length,
+    )
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample_img = jnp.zeros((2, cfg.image_size, cfg.image_size, 3),
+                           jnp.float32)
+    sample_txt = jnp.zeros((2, cfg.max_seq_length), jnp.int32)
+    sample_len = jnp.asarray([5, 5], jnp.int32)
+    variables = model.init(rng, sample_img, sample_txt, sample_len)
+    params = variables["params"]
+    if cfg.reinit_model:
+        if verbose:
+            print("Reinitializing model weights...")
+        params = reinit_params(params, jax.random.fold_in(rng, 99))
+
+    model_info = get_model_size_info(params, use_rpb=cfg.use_residual)
+    if verbose:
+        print("Model information:")
+        for k, v in model_info.items():
+            print(f"  {k}: {v:,}" if isinstance(v, int) else f"  {k}: {v:.2f}")
+
+    criterion = HardNegativeMiningInfoNCE(
+        temperature=0.07, lambda_reg=cfg.contrastive_reg,
+        hard_negative_weight=0.5, temperature_schedule=True,
+    )
+    cl_manager = ContrastiveLearningManager(criterion=criterion,
+                                            similarity_threshold=0.7)
+
+    quant_scheduler = None
+    if cfg.gradual_quant:
+        quant_scheduler = GradualQuantizationScheduler(
+            cfg.epochs, vision_sparsity=cfg.vision_sparsity,
+            text_sparsity=cfg.text_sparsity,
+            warmup_epochs=cfg.warmup_epochs, verbose=cfg.verbose,
+        )
+    sparsity_plan = retrieval_sparsity_plan(cfg)
+
+    steps_per_epoch = max(1, len(train_loader))
+    tx = make_retrieval_optimizer(cfg, steps_per_epoch)
+
+    mesh = make_mesh(dp=cfg.dp)
+    state = {
+        "params": params,
+        "quant": variables.get("quant", {}),
+        "batch_stats": variables.get("batch_stats", {}),
+        "opt_state": tx.init(params),
+        "step": jnp.asarray(0, jnp.int32),
+    }
+    if cfg.use_ema:
+        state["ema_params"] = jax.tree_util.tree_map(jnp.copy, params)
+    state = replicate(state, mesh)
+
+    train_step = jax.jit(
+        build_retrieval_train_step(model, tx, criterion, cl_manager, cfg),
+        static_argnames=("curriculum_stage",), donate_argnums=(0,),
+    )
+    embed_fn = jax.jit(build_embed_fn(model), static_argnames=("use_ema",))
+
+    best_val_r1 = 0.0
+    train_losses, val_metrics_history, pairs_per_sec_hist = [], [], []
+    step_rng = jax.random.PRNGKey(cfg.seed + 7)
+
+    for epoch in range(cfg.epochs):
+        criterion.set_epoch(epoch, cfg.epochs)
+        cl_manager.set_epoch(epoch, cfg.epochs)
+        temperature = criterion.get_current_temperature()
+
+        quant_host = jax.device_get(state["quant"])
+        if quant_scheduler is not None:
+            quant_host = quant_scheduler.step(quant_host, epoch,
+                                              sparsity_plan)
+        else:
+            quant_host = set_quant_sparsity(
+                quant_host, sparsity_plan, epoch_progress(epoch, cfg.epochs)
+            )
+        state["quant"] = replicate(quant_host, mesh)
+
+        epoch_loss, n_batches, n_pairs = 0.0, 0, 0
+        t0 = time.time()
+        for batch in train_loader:
+            batch = shard_batch(batch, mesh)
+            state, loss = train_step(state, batch,
+                                     jnp.float32(temperature),
+                                     cl_manager.curriculum_stage, step_rng)
+            epoch_loss += float(jax.device_get(loss))
+            n_batches += 1
+            n_pairs += int(batch[0].shape[0])
+        jax.block_until_ready(state["params"])
+        epoch_time = time.time() - t0
+        pairs_per_sec = n_pairs / max(epoch_time, 1e-9)
+        pairs_per_sec_hist.append(pairs_per_sec)
+
+        train_loss = epoch_loss / max(1, n_batches)
+        train_losses.append(train_loss)
+
+        val_metrics = evaluate_model(embed_fn, state, val_loader,
+                                     use_ema=cfg.use_ema)
+        val_metrics_history.append(val_metrics)
+        if verbose:
+            print(f"Epoch {epoch + 1}/{cfg.epochs} - {epoch_time:.1f}s "
+                  f"({pairs_per_sec:.1f} pairs/s):")
+            print(f"  Train Loss: {train_loss:.4f}")
+            for k in (1, 5, 10):
+                print(f"  Validation R@{k}: "
+                      f"{val_metrics[f'mean_R@{k}']:.2f}%")
+
+        if val_metrics["mean_R@1"] > best_val_r1:
+            best_val_r1 = val_metrics["mean_R@1"]
+            if verbose:
+                print(f"  New best model with validation R@1: "
+                      f"{best_val_r1:.2f}%")
+            _save_checkpoint(
+                jax.device_get({"params": state["params"],
+                                "quant": state["quant"],
+                                "batch_stats": state["batch_stats"]}),
+                os.path.join(cfg.output_dir, "best_model.npz"),
+            )
+            if cfg.use_ema:
+                _save_checkpoint(
+                    jax.device_get({"params": state["ema_params"],
+                                    "quant": state["quant"],
+                                    "batch_stats": state["batch_stats"]}),
+                    os.path.join(cfg.output_dir, "best_ema_model.npz"),
+                )
+
+        if (epoch + 1) % cfg.checkpoint_freq == 0 or (epoch + 1) == cfg.epochs:
+            ckpt_path = os.path.join(cfg.output_dir,
+                                     f"checkpoint_epoch_{epoch + 1}.npz")
+            _save_checkpoint(
+                jax.device_get({
+                    "epoch": np.asarray(epoch + 1),
+                    "model_state_dict": {"params": state["params"],
+                                         "quant": state["quant"],
+                                         "batch_stats": state["batch_stats"]},
+                    "optimizer_state_dict": state["opt_state"],
+                    "best_val_r1": np.asarray(best_val_r1),
+                }), ckpt_path,
+            )
+            if verbose:
+                print(f"  Saved checkpoint to {ckpt_path}")
+
+    _save_checkpoint(
+        jax.device_get({"params": state["params"], "quant": state["quant"],
+                        "batch_stats": state["batch_stats"]}),
+        os.path.join(cfg.output_dir, "final_model.npz"),
+    )
+
+    history = {
+        "train_losses": [float(x) for x in train_losses],
+        "val_metrics": [{k: float(v) for k, v in m.items()}
+                        for m in val_metrics_history],
+    }
+    with open(os.path.join(cfg.output_dir, "training_history.json"),
+              "w") as f:
+        json.dump(history, f, indent=4)
+
+    _plot_training_curves(train_losses, val_metrics_history, cfg.output_dir)
+
+    # Final eval with the best checkpoint (fallback chain mirrors
+    # train_multimodal.py:723-741).
+    best_path = os.path.join(cfg.output_dir, "best_model.npz")
+    if os.path.exists(best_path):
+        best = load_checkpoint(best_path)
+        state["params"] = replicate(best["params"], mesh)
+        state["quant"] = replicate(best["quant"], mesh)
+        state["batch_stats"] = replicate(best.get("batch_stats", {}), mesh)
+        if verbose:
+            print(f"Loaded best model from {best_path}")
+    test_metrics = evaluate_model(embed_fn, state, test_loader,
+                                  use_ema=False)
+
+    # Single-sample inference latency.
+    one = (np.zeros((1, cfg.image_size, cfg.image_size, 3), np.float32),
+           np.zeros((1, cfg.max_seq_length), np.int32),
+           np.asarray([5], np.int32))
+    embed_fn(state, one)  # warmup/compile
+    t0 = time.time()
+    n_runs = 50
+    for _ in range(n_runs):
+        out = embed_fn(state, one)
+    jax.block_until_ready(out)
+    atq_time_ms = (time.time() - t0) * 1000 / n_runs
+
+    report = {
+        "best_val_r1": float(best_val_r1),
+        "test_metrics": {k: float(v) for k, v in test_metrics.items()},
+        "atq_inference_time_ms": float(atq_time_ms),
+        "baseline_inference_time_ms": None,
+        "speed_ratio": None,
+        "model_size_mb": float(model_info["estimated_memory_usage_MB"]),
+        "parameters": int(model_info["total_parameters"]),
+        "pairs_per_sec": float(np.mean(pairs_per_sec_hist[1:])
+                               if len(pairs_per_sec_hist) > 1
+                               else pairs_per_sec_hist[0]),
+        "training_args": dataclasses.asdict(cfg),
+    }
+    with open(os.path.join(cfg.output_dir, "final_report.json"), "w") as f:
+        json.dump(report, f, indent=4)
+
+    if verbose:
+        print("=" * 50)
+        print("TRAINING COMPLETE")
+        print(f"Best validation R@1: {best_val_r1:.2f}%")
+        for k in (1, 5, 10):
+            print(f"  Test R@{k}: {test_metrics[f'mean_R@{k}']:.2f}%")
+        print(f"  ATQ inference time: {atq_time_ms:.2f} ms per sample")
+    return state, history, report
+
+
+def _plot_training_curves(train_losses, val_metrics_history, output_dir):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=(15, 10))
+    plt.subplot(2, 2, 1)
+    plt.plot(train_losses)
+    plt.title("Training Loss")
+    plt.xlabel("Epoch")
+    plt.ylabel("Loss")
+    plt.grid(True)
+
+    plt.subplot(2, 2, 2)
+    for k in (1, 5, 10):
+        plt.plot([m[f"mean_R@{k}"] for m in val_metrics_history],
+                 label=f"R@{k}")
+    plt.title("Validation Retrieval Performance")
+    plt.xlabel("Epoch")
+    plt.ylabel("Recall (%)")
+    plt.legend()
+    plt.grid(True)
+
+    plt.subplot(2, 2, 3)
+    plt.plot([m["image_to_text_R@1"] for m in val_metrics_history],
+             label="Image→Text")
+    plt.plot([m["text_to_image_R@1"] for m in val_metrics_history],
+             label="Text→Image")
+    plt.title("R@1 by Direction")
+    plt.xlabel("Epoch")
+    plt.ylabel("Recall@1 (%)")
+    plt.legend()
+    plt.grid(True)
+
+    plt.tight_layout()
+    plt.savefig(os.path.join(output_dir, "training_curves.png"))
+    plt.close()

@@ -1,0 +1,19 @@
+from atq_tpu.utils.metrics import (
+    count_parameters,
+    measure_model_memory,
+    measure_inference_time,
+    estimate_flops,
+    accuracy,
+    confusion_matrix,
+)
+from atq_tpu.utils.platform import apply_platform_env
+
+__all__ = [
+    "count_parameters",
+    "measure_model_memory",
+    "measure_inference_time",
+    "estimate_flops",
+    "accuracy",
+    "confusion_matrix",
+    "apply_platform_env",
+]

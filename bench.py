@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Headline benchmark: Fashion-MNIST ATQ training throughput (imgs/sec/chip).
+
+Runs the real jitted training step of the flagship classification recipe
+(co-trained FP baseline + RPB student + distillation — the reference
+README's recipe, readme.md:110) on one chip and measures steady-state
+throughput. ``vs_baseline`` is measured against an equivalent PyTorch-CPU
+training step executed in-process (the reference runs on CPU/MPS-class
+hardware; BASELINE.md's build target is >=5x per-chip throughput).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH = 256
+WARMUP_STEPS = 3
+MEASURE_STEPS = 30
+TORCH_STEPS = 8
+
+
+def bench_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from atq_tpu.train.classifier import (
+        ClassifierConfig,
+        build_train_step,
+        make_optimizer,
+    )
+    from atq_tpu.models.image_classifier import (
+        ATQImageClassifier,
+        BaselineCNNClassifier,
+    )
+    from atq_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    cfg = ClassifierConfig(use_rpb=True, distill=True, batch_size=BATCH)
+    atq_model = ATQImageClassifier(use_rpb=True, sparsity_target=0.3)
+    base_model = BaselineCNNClassifier()
+
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((2, 28, 28, 1), jnp.float32)
+    atq_vars = atq_model.init(rng, sample)
+    base_vars = base_model.init(jax.random.fold_in(rng, 1), sample)
+
+    atq_tx = make_optimizer(cfg, steps_per_epoch=200, weight_decay=1e-4)
+    base_tx = make_optimizer(cfg, steps_per_epoch=200)
+
+    mesh = make_mesh()
+    state = {
+        "atq_params": atq_vars["params"],
+        "quant": atq_vars.get("quant", {}),
+        "atq_batch_stats": atq_vars.get("batch_stats", {}),
+        "atq_opt_state": atq_tx.init(atq_vars["params"]),
+        "base_params": base_vars["params"],
+        "base_batch_stats": base_vars.get("batch_stats", {}),
+        "base_opt_state": base_tx.init(base_vars["params"]),
+        "step": jnp.asarray(0, jnp.int32),
+    }
+    state = replicate(state, mesh)
+    train_step = jax.jit(
+        build_train_step(atq_model, base_model, atq_tx, base_tx, cfg),
+        donate_argnums=(0,),
+    )
+
+    data_rng = np.random.RandomState(0)
+    images = data_rng.randn(BATCH, 28, 28, 1).astype(np.float32)
+    labels = data_rng.randint(0, 10, BATCH).astype(np.int32)
+    batch = shard_batch((images, labels), mesh)
+
+    step_rng = jax.random.PRNGKey(1)
+    for _ in range(WARMUP_STEPS):
+        state, metrics = train_step(state, batch, 0.3, 1e-5, step_rng)
+    jax.block_until_ready(state["atq_params"])
+
+    t0 = time.time()
+    for _ in range(MEASURE_STEPS):
+        state, metrics = train_step(state, batch, 0.3, 1e-5, step_rng)
+    jax.block_until_ready(state["atq_params"])
+    dt = time.time() - t0
+    return BATCH * MEASURE_STEPS / dt
+
+
+def bench_torch_cpu() -> float:
+    """Equivalent torch-CPU training step (same architectures, same losses)
+    as the reference baseline measurement."""
+    try:
+        import torch
+        import torch.nn as nn
+        import torch.nn.functional as F
+    except ImportError:
+        return float("nan")
+
+    torch.manual_seed(0)
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+
+    def cnn(head_in=64 * 7 * 7, hidden=128):
+        return nn.Sequential(
+            nn.Conv2d(1, 32, 3, padding=1), nn.BatchNorm2d(32), nn.ReLU(),
+            nn.MaxPool2d(2),
+            nn.Conv2d(32, 64, 3, padding=1), nn.BatchNorm2d(64), nn.ReLU(),
+            nn.MaxPool2d(2), nn.Flatten(),
+            nn.Linear(head_in, hidden), nn.ReLU(), nn.Dropout(0.3),
+            nn.Linear(hidden, 10),
+        )
+
+    class TernaryHead(nn.Module):
+        """Quantized student head: per-step |w| sort + threshold + masked
+        mix — the reference's RPB forward cost profile."""
+
+        def __init__(self, in_f, out_f):
+            super().__init__()
+            self.weight = nn.Parameter(torch.randn(out_f, in_f) * 0.02)
+            self.alpha = nn.Parameter(torch.ones(1))
+            self.bias = nn.Parameter(torch.zeros(out_f))
+            mask = torch.zeros(out_f * in_f)
+            mask[torch.topk(self.weight.abs().view(-1),
+                            int(0.05 * out_f * in_f)).indices] = 1.0
+            self.register_buffer("mask", mask.view(out_f, in_f))
+
+        def forward(self, x):
+            flat = self.weight.abs().view(-1)
+            srt, _ = torch.sort(flat)
+            thr = srt[int(0.3 * flat.numel())]
+            w_t = torch.zeros_like(self.weight)
+            w_t[self.weight > thr] = 1.0
+            w_t[self.weight < -thr] = -1.0
+            w = w_t * self.alpha * (1 - self.mask) + self.weight * self.mask
+            return F.linear(x, w, self.bias)
+
+    class Student(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(
+                nn.Conv2d(1, 32, 3, padding=1), nn.BatchNorm2d(32),
+                nn.ReLU(), nn.MaxPool2d(2),
+                nn.Conv2d(32, 64, 3, padding=1), nn.BatchNorm2d(64),
+                nn.ReLU(), nn.MaxPool2d(2), nn.Flatten(),
+            )
+            self.fc1 = TernaryHead(64 * 7 * 7, 128)
+            self.fc2 = TernaryHead(128, 10)
+
+        def forward(self, x):
+            h = F.relu(self.fc1(self.features(x)))
+            return self.fc2(F.dropout(h, 0.3, self.training))
+
+    teacher, student = cnn(), Student()
+    opt_t = torch.optim.Adam(teacher.parameters(), lr=1e-3)
+    opt_s = torch.optim.Adam(student.parameters(), lr=1e-3,
+                             weight_decay=1e-4)
+    images = torch.randn(BATCH, 1, 28, 28)
+    labels = torch.randint(0, 10, (BATCH,))
+
+    def step():
+        opt_t.zero_grad()
+        t_logits = teacher(images)
+        t_loss = F.cross_entropy(t_logits, labels)
+        t_loss.backward()
+        opt_t.step()
+        opt_s.zero_grad()
+        s_logits = student(images)
+        loss = 0.7 * F.cross_entropy(s_logits, labels) + 0.3 * F.kl_div(
+            F.log_softmax(s_logits / 4.0, dim=1),
+            F.softmax(t_logits.detach() / 4.0, dim=1),
+            reduction="batchmean",
+        ) * 16.0
+        loss.backward()
+        opt_s.step()
+
+    step()  # warmup
+    t0 = time.time()
+    for _ in range(TORCH_STEPS):
+        step()
+    dt = time.time() - t0
+    return BATCH * TORCH_STEPS / dt
+
+
+def main():
+    tpu_throughput = bench_tpu()
+    torch_throughput = bench_torch_cpu()
+    vs_baseline = (tpu_throughput / torch_throughput
+                   if np.isfinite(torch_throughput) and torch_throughput > 0
+                   else None)
+    print(json.dumps({
+        "metric": "fashion_mnist_atq_train_throughput",
+        "value": round(tpu_throughput, 1),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Standalone evaluation CLI.
+
+The reference README advertises an `evaluate.py` that does not exist in the
+reference repo (readme.md:60; SURVEY.md §0) — this build supplies it.
+Evaluates a saved checkpoint: classification accuracy for
+mnist/fashion_mnist, Recall@K for flickr8k retrieval.
+"""
+
+import argparse
+import json
+
+from atq_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="Evaluate an ATQ model")
+    parser.add_argument("--task", type=str, required=True,
+                        choices=["classification", "retrieval"])
+    parser.add_argument("--checkpoint", type=str, required=True,
+                        help="Path to a .npz checkpoint")
+    parser.add_argument("--dataset", type=str, default="fashion_mnist",
+                        choices=["mnist", "fashion_mnist"])
+    parser.add_argument("--split", type=str, default="test",
+                        choices=["val", "test"])
+    parser.add_argument("--batch_size", type=int, default=256)
+    parser.add_argument("--image_size", type=int, default=160)
+    parser.add_argument("--max_seq_length", type=int, default=50)
+    parser.add_argument("--embed_dim", type=int, default=192)
+    parser.add_argument("--hidden_dim", type=int, default=384)
+    parser.add_argument("--use_residual", action="store_true")
+    parser.add_argument("--use-rpb", dest="use_rpb", action="store_true")
+    parser.add_argument("--wider-layers", dest="wider_layers",
+                        action="store_true")
+    parser.add_argument("--data_dir", type=str, default=None)
+    parser.add_argument("--output", type=str, default=None,
+                        help="Optional JSON file for the metrics")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+
+    from atq_tpu.train.classifier import load_checkpoint
+
+    ckpt = load_checkpoint(args.checkpoint)
+
+    if args.task == "classification":
+        from atq_tpu.data.mnist import (
+            get_fashion_mnist_data,
+            get_mnist_data,
+        )
+        from atq_tpu.models.image_classifier import ATQImageClassifier
+        from atq_tpu.train.classifier import _run_eval, build_eval_step
+
+        data_dir = args.data_dir or "./data"
+        get_data = (get_mnist_data if args.dataset == "mnist"
+                    else get_fashion_mnist_data)
+        _, val_loader, test_loader = get_data(args.batch_size, data_dir,
+                                              subset_fraction=1.0)
+        loader = val_loader if args.split == "val" else test_loader
+
+        model = ATQImageClassifier(
+            use_rpb=args.use_rpb,
+            hidden_size=256 if args.wider_layers else 128,
+        )
+        state = {
+            "atq_params": ckpt["params"],
+            "quant": ckpt.get("quant", {}),
+            "atq_batch_stats": ckpt.get("batch_stats", {}),
+        }
+        eval_fn = jax.jit(build_eval_step(model, "atq_params",
+                                          "atq_batch_stats"))
+        acc, loss = _run_eval(eval_fn, state, loader)
+        metrics = {"accuracy": acc, "loss": loss}
+        print(f"{args.dataset} {args.split} accuracy: {acc:.2f}%")
+    else:
+        from atq_tpu.data.flickr8k import prepare_flickr8k_dataloaders
+        from atq_tpu.models.retrieval import ATQMultimodalRetrieval
+        from atq_tpu.train.retrieval import build_embed_fn, evaluate_model
+
+        data_dir = args.data_dir or "./data/flickr8k"
+        _, val_loader, test_loader, vocab_size, _ = (
+            prepare_flickr8k_dataloaders(
+                batch_size=args.batch_size, image_size=args.image_size,
+                max_length=args.max_seq_length, root_dir=data_dir,
+            )
+        )
+        loader = val_loader if args.split == "val" else test_loader
+        model = ATQMultimodalRetrieval(
+            vocab_size=vocab_size, embed_dim=args.embed_dim,
+            hidden_dim=args.hidden_dim, use_residual=args.use_residual,
+            max_seq_length=args.max_seq_length,
+        )
+        state = {
+            "params": ckpt["params"],
+            "quant": ckpt.get("quant", {}),
+            "batch_stats": ckpt.get("batch_stats", {}),
+        }
+        embed_fn = jax.jit(build_embed_fn(model),
+                           static_argnames=("use_ema",))
+        metrics = evaluate_model(embed_fn, state, loader)
+        for k, v in metrics.items():
+            print(f"{k}: {v:.2f}")
+
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump({k: float(v) for k, v in metrics.items()}, f, indent=4)
+
+
+if __name__ == "__main__":
+    main()
