@@ -124,6 +124,7 @@ class TernaryBitPacking:
                 packed_data["packed_weights"],
                 original_shape,
                 alpha,
+                layout="flat",
             )
 
         weights = TernaryBitPacking.unpack_ternary_weights(
@@ -155,3 +156,34 @@ def unpack_rows(packed: jax.Array, in_features: int, dtype=jnp.float32):
     vals = (packed[:, :, None] >> shifts) & jnp.uint8(0x3)
     flat = vals.reshape(packed.shape[0], -1)[:, :in_features]
     return flat.astype(dtype) - 1.0
+
+
+def pack_planar(ternary_weights: jax.Array, k_align: int = 512) -> jax.Array:
+    """Planar 2-bit packing for the Pallas TPU kernel.
+
+    The K axis is zero-padded to a multiple of ``k_align`` (so K/4 is a
+    whole number of 128-lane vectors) and split into 4 contiguous quarters;
+    byte b of a row holds quarter values (Q0[b], Q1[b], Q2[b], Q3[b]) in
+    bit fields (0-1, 2-3, 4-5, 6-7). Decoding field s therefore yields a
+    CONTIGUOUS (N, K/4) block — no interleaving, so the kernel needs only
+    shifts, masks, and static slices (all Mosaic-supported lane ops).
+    """
+    out_features, in_features = ternary_weights.shape
+    k_pad = (-in_features) % k_align
+    w = ternary_weights
+    if k_pad:
+        w = jnp.pad(w, ((0, 0), (0, k_pad)), constant_values=0.0)
+    kq = w.shape[1] // 4
+    quarters = (w + 1).astype(jnp.uint8).reshape(out_features, 4, kq)
+    return (quarters[:, 0]
+            | (quarters[:, 1] << 2)
+            | (quarters[:, 2] << 4)
+            | (quarters[:, 3] << 6)).astype(jnp.uint8)
+
+
+def unpack_planar(packed: jax.Array, in_features: int, dtype=jnp.float32):
+    """Inverse of :func:`pack_planar` (drops the K padding)."""
+    shifts = jnp.asarray([0, 2, 4, 6], dtype=jnp.uint8)
+    quarters = (packed[:, None, :] >> shifts[None, :, None]) & jnp.uint8(0x3)
+    full = quarters.reshape(packed.shape[0], -1)
+    return full[:, :in_features].astype(dtype) - 1.0
