@@ -178,9 +178,14 @@ def build_retrieval_train_step(model, tx, criterion, cl_manager,
                                cfg: RetrievalConfig):
     """One jitted step: embeddings -> curriculum-weighted hard-negative
     InfoNCE -> update (+ EMA). curriculum_stage is a static python int per
-    epoch (3 stages -> at most 3 compiles)."""
+    epoch (3 stages -> at most 3 compiles). When distillation is on, the
+    step also receives the baseline's embeddings and reproduces the
+    reference's distillation term (train_multimodal.py:504-524) — which is
+    KL between a similarity matrix and its own detached softmax, i.e.
+    exactly zero with zero gradient; kept faithful rather than 'fixed'."""
 
-    def train_step(state, batch, temperature, curriculum_stage, rng):
+    def train_step(state, batch, temperature, curriculum_stage, rng,
+                   baseline_embeds=None):
         images, captions, lengths = batch
         drop_rng = jax.random.fold_in(rng, state["step"])
 
@@ -200,6 +205,25 @@ def build_retrieval_train_step(model, tx, criterion, cl_manager,
             weights = cl_manager.get_curriculum_weight(similarity)
             loss = criterion(img_emb, txt_emb, weights,
                              temperature=temperature)
+            if baseline_embeds is not None:
+                base_img, base_txt = baseline_embeds
+                temp = 3.0
+                img_sim = jnp.matmul(img_emb, base_img.T) / temp
+                txt_sim = jnp.matmul(txt_emb, base_txt.T) / temp
+
+                def _kl_self(sim):
+                    target = jax.nn.softmax(jax.lax.stop_gradient(sim),
+                                            axis=1)
+                    log_t = jax.nn.log_softmax(
+                        jax.lax.stop_gradient(sim), axis=1)
+                    log_s = jax.nn.log_softmax(sim, axis=1)
+                    return jnp.mean(
+                        jnp.sum(target * (log_t - log_s), axis=1)
+                    ) * temp ** 2
+
+                distill_loss = (_kl_self(img_sim) + _kl_self(txt_sim)) / 2
+                loss = ((1 - cfg.distill_weight) * loss
+                        + cfg.distill_weight * distill_loss)
             return loss, mutated
 
         (loss, mutated), grads = jax.value_and_grad(
@@ -224,6 +248,41 @@ def build_retrieval_train_step(model, tx, criterion, cl_manager,
         return new_state, loss
 
     return train_step
+
+
+def build_baseline_train_step(baseline_model, baseline_tx, criterion):
+    """FP baseline co-training step (train_multimodal.py:468-480): one
+    contrastive update, returning the post-update eval-mode embeddings for
+    distillation."""
+
+    def step(bstate, batch, temperature):
+        images, captions, lengths = batch
+
+        def loss_fn(p):
+            (img, txt), mutated = baseline_model.apply(
+                {"params": p, "batch_stats": bstate["batch_stats"]},
+                images, captions, lengths, return_embeddings=True,
+                train=True, mutable=["batch_stats"],
+            )
+            return criterion(img, txt, temperature=temperature), mutated
+
+        (loss, mutated), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(bstate["params"])
+        updates, opt_state = baseline_tx.update(grads, bstate["opt_state"],
+                                                bstate["params"])
+        params = optax.apply_updates(bstate["params"], updates)
+        new_bstate = {
+            "params": params,
+            "batch_stats": mutated["batch_stats"],
+            "opt_state": opt_state,
+        }
+        embeds = baseline_model.apply(
+            {"params": params, "batch_stats": mutated["batch_stats"]},
+            images, captions, lengths, return_embeddings=True, train=False,
+        )
+        return new_bstate, loss, embeds
+
+    return step
 
 
 def build_embed_fn(model):
@@ -313,6 +372,32 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
     steps_per_epoch = max(1, len(train_loader))
     tx = make_retrieval_optimizer(cfg, steps_per_epoch)
 
+    baseline_model = baseline_state = baseline_step = None
+    if cfg.train_baseline:
+        from atq_tpu.models.baseline_retrieval import BaselineRetrievalModel
+
+        if verbose:
+            print("Creating baseline retrieval model...")
+        baseline_model = BaselineRetrievalModel(
+            vocab_size=vocab_size, embed_dim=cfg.embed_dim,
+            hidden_dim=cfg.hidden_dim,
+        )
+        bvars = baseline_model.init(jax.random.fold_in(rng, 5), sample_img,
+                                    sample_txt, sample_len)
+        # The reference always uses AdamW for the baseline
+        # (train_multimodal.py:383-388).
+        baseline_tx = optax.adamw(cfg.learning_rate,
+                                  weight_decay=cfg.weight_decay)
+        baseline_state = {
+            "params": bvars["params"],
+            "batch_stats": bvars.get("batch_stats", {}),
+            "opt_state": baseline_tx.init(bvars["params"]),
+        }
+        baseline_step = jax.jit(
+            build_baseline_train_step(baseline_model, baseline_tx,
+                                      criterion)
+        )
+
     mesh = make_mesh(dp=cfg.dp)
     state = {
         "params": params,
@@ -354,9 +439,17 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
         t0 = time.time()
         for batch in train_loader:
             batch = shard_batch(batch, mesh)
+            baseline_embeds = None
+            if baseline_step is not None:
+                baseline_state, _bloss, embeds = baseline_step(
+                    baseline_state, batch, jnp.float32(temperature)
+                )
+                if cfg.distill:
+                    baseline_embeds = embeds
             state, loss = train_step(state, batch,
                                      jnp.float32(temperature),
-                                     cl_manager.curriculum_stage, step_rng)
+                                     cl_manager.curriculum_stage, step_rng,
+                                     baseline_embeds)
             epoch_loss += float(jax.device_get(loss))
             n_batches += 1
             n_pairs += int(batch[0].shape[0])
@@ -456,12 +549,30 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
     jax.block_until_ready(out)
     atq_time_ms = (time.time() - t0) * 1000 / n_runs
 
+    baseline_time_ms = None
+    if cfg.train_baseline and baseline_model is not None:
+        bembed = jax.jit(
+            lambda bstate, b: baseline_model.apply(
+                {"params": bstate["params"],
+                 "batch_stats": bstate["batch_stats"]},
+                b[0], b[1], b[2], return_embeddings=True, train=False,
+            )
+        )
+        bembed(baseline_state, one)  # warmup/compile
+        t0 = time.time()
+        for _ in range(n_runs):
+            bout = bembed(baseline_state, one)
+        jax.block_until_ready(bout)
+        baseline_time_ms = (time.time() - t0) * 1000 / n_runs
+
     report = {
         "best_val_r1": float(best_val_r1),
         "test_metrics": {k: float(v) for k, v in test_metrics.items()},
         "atq_inference_time_ms": float(atq_time_ms),
-        "baseline_inference_time_ms": None,
-        "speed_ratio": None,
+        "baseline_inference_time_ms": (float(baseline_time_ms)
+                                       if baseline_time_ms else None),
+        "speed_ratio": (float(baseline_time_ms / atq_time_ms)
+                        if baseline_time_ms and atq_time_ms > 0 else None),
         "model_size_mb": float(model_info["estimated_memory_usage_MB"]),
         "parameters": int(model_info["total_parameters"]),
         "pairs_per_sec": float(np.mean(pairs_per_sec_hist[1:])

@@ -1,0 +1,147 @@
+"""Coverage for the secondary API surfaces: mixed-precision layers,
+baseline retrieval model, text utilities, generic multimodal dataset,
+metrics utilities, and LR schedules."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atq_tpu.nn.mixed_precision import (
+    EnhancedATQTransformerLayer,
+    PrecisionControlledLinear,
+)
+
+
+def test_precision_controlled_linear():
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 16).astype(np.float32))
+    layer = PrecisionControlledLinear(features=8, importance=2.0,
+                                      base_sparsity=0.3)
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    out = layer.apply(variables, x)
+    assert out.shape == (4, 8)
+    # importance 2.0 -> sparsity max(0.1, 0.3/2) = 0.15
+    sp = float(variables["quant"]["linear"]["sparsity_target"])
+    assert abs(sp - 0.15) < 1e-6
+
+
+def test_enhanced_transformer_layer():
+    x = jnp.asarray(
+        np.random.RandomState(1).randn(2, 6, 32).astype(np.float32)
+    )
+    layer = EnhancedATQTransformerLayer(embed_dim=32, num_heads=4,
+                                        dim_feedforward=64, layer_idx=2,
+                                        total_layers=4)
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    out = layer.apply(variables, x)
+    assert out.shape == x.shape
+
+
+def test_baseline_retrieval_padding_invariance():
+    from atq_tpu.models.baseline_retrieval import BaselineRetrievalModel
+
+    m = BaselineRetrievalModel(vocab_size=50, embed_dim=16, hidden_dim=24)
+    img = jnp.asarray(np.random.RandomState(2).randn(2, 32, 32, 3),
+                      jnp.float32)
+    txt = jnp.asarray(np.random.RandomState(3).randint(0, 50, (2, 10)))
+    lengths = jnp.asarray([4, 10])
+    v = m.init(jax.random.PRNGKey(0), img, txt, lengths)
+    te = m.apply(v, img, txt, lengths, return_embeddings=True)[1]
+    txt2 = txt.at[0, 5:].set(7)  # mutate padding only
+    te2 = m.apply(v, img, txt2, lengths, return_embeddings=True)[1]
+    np.testing.assert_allclose(np.asarray(te), np.asarray(te2), atol=1e-6)
+
+
+def test_text_utils():
+    from atq_tpu.data.text_utils import (
+        build_vocabulary,
+        clean_text,
+        create_embedding_matrix,
+        tokenize_texts,
+    )
+
+    texts = ["a dog runs fast", "a dog jumps", "the cat runs",
+             "dog dog dog"]
+    vocab = build_vocabulary(texts, min_freq=2)
+    assert vocab["<PAD>"] == 0 and vocab["<UNK>"] == 1
+    assert "dog" in vocab and "runs" in vocab
+    assert "cat" not in vocab  # freq 1 < 2
+
+    cleaned = clean_text("The dog, quickly, ran over 42 fences!")
+    assert "42" not in cleaned and "," not in cleaned
+    assert "the" not in cleaned.split()  # stopword removed
+
+    ids, lengths = tokenize_texts(["a dog runs"], vocab, max_length=5)
+    assert ids.shape == (1, 5)
+    assert lengths == [3]
+    assert ids[0, 1] == vocab["dog"]
+
+    emb = create_embedding_matrix(vocab, embedding_dim=8)
+    assert emb.shape == (len(vocab), 8)
+    np.testing.assert_array_equal(emb[0], 0.0)  # PAD row zeroed
+
+
+def test_multimodal_dataset(tmp_path):
+    from PIL import Image
+
+    from atq_tpu.data.multimodal_dataset import MultimodalDataset
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.new("RGB", (8, 8), (255, 0, 0)).save(img_dir / "a.png")
+    items = [{"image": "a.png", "text": "hello world", "label": 1}]
+    json_path = tmp_path / "data.json"
+    json_path.write_text(json.dumps(items))
+
+    vocab = {"<PAD>": 0, "<UNK>": 1, "hello": 2}
+    ds = MultimodalDataset(str(img_dir), str(json_path), vocab=vocab,
+                           max_length=4)
+    assert len(ds) == 1
+    item = ds[0]
+    assert item["image"].shape == (8, 8, 3)
+    np.testing.assert_array_equal(item["text"], [2, 1, 0, 0])
+    assert item["text_length"] == 2
+    assert int(item["label"]) == 1
+
+
+def test_metrics_utils():
+    from atq_tpu.utils.metrics import (
+        accuracy,
+        confusion_matrix,
+        count_parameters,
+        measure_model_memory,
+    )
+
+    params = {"a": jnp.ones((3, 4)), "b": {"c": jnp.ones((5,))}}
+    assert count_parameters(params) == 17
+    assert abs(measure_model_memory(params) - 17 * 4 / 2**20) < 1e-9
+
+    logits = jnp.asarray([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]])
+    labels = jnp.asarray([1, 2])
+    top1, top2 = accuracy(logits, labels, topk=(1, 2))
+    assert top1 == 50.0 and top2 == 50.0
+
+    cm = confusion_matrix(np.asarray([0, 1, 1]), np.asarray([0, 1, 0]))
+    assert cm[0, 0] == 1 and cm[1, 1] == 1 and cm[0, 1] == 1
+
+
+def test_lr_schedules():
+    from atq_tpu.train.schedules_lr import (
+        step_lr_schedule,
+        warmup_cosine_schedule,
+    )
+
+    sched = warmup_cosine_schedule(1.0, warmup_steps=10, total_steps=100)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(5)) - 0.5) < 1e-6
+    assert abs(float(sched(10)) - 1.0) < 1e-6
+    assert float(sched(100)) >= 0.1  # floor
+
+    step = step_lr_schedule(1.0, steps_per_epoch=10, step_size=5)
+    assert float(step(0)) == 1.0
+    assert float(step(49)) == 1.0     # epoch 4
+    assert float(step(50)) == 0.5     # epoch 5
+    assert float(step(100)) == 0.25   # epoch 10
