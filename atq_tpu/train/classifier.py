@@ -70,6 +70,9 @@ class ClassifierConfig:
     grad_mode: str = "parity"
     seed: int = 0
     dp: Optional[int] = None  # data-parallel size; None = all devices
+    resume: bool = False
+    profile_dir: Optional[str] = None
+    orbax_freq: int = 5  # epochs between full-state Orbax saves
 
 
 def _l1_penalty(params) -> jax.Array:
@@ -304,8 +307,31 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     best_params = None
 
+    from atq_tpu.train.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    orbax_dir = os.path.join(cfg.checkpoint_dir,
+                             f"orbax_{cfg.dataset}")
+    start_epoch = 0
+    if cfg.resume:
+        try:
+            host_state, start_epoch = restore_train_state(
+                orbax_dir, jax.device_get(state)
+            )
+            state = replicate(host_state, mesh)
+            if verbose:
+                print(f"Resumed from {orbax_dir} at epoch {start_epoch}")
+        except FileNotFoundError:
+            if verbose:
+                print("No checkpoint to resume from; starting fresh")
+
+    if cfg.profile_dir:
+        jax.profiler.start_trace(cfg.profile_dir)
+
     step_rng = jax.random.PRNGKey(cfg.seed + 17)
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         current_sparsity = initial_sparsity + (
             final_sparsity - initial_sparsity
         ) * min(1.0, epoch / (cfg.epochs * 0.7))
@@ -365,6 +391,12 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
                   f"-1: {100 * float(jnp.sum(w_t == -1)) / total:.1f}% | "
                   f"0: {100 * float(jnp.sum(w_t == 0)) / total:.1f}% | "
                   f"+1: {100 * float(jnp.sum(w_t == 1)) / total:.1f}%")
+
+        if cfg.profile_dir and epoch == start_epoch:
+            jax.profiler.stop_trace()
+
+        if (epoch + 1) % cfg.orbax_freq == 0 or (epoch + 1) == cfg.epochs:
+            save_train_state(orbax_dir, epoch + 1, state)
 
         if val_acc > best_val_acc:
             best_val_acc = val_acc

@@ -96,6 +96,8 @@ class RetrievalConfig:
     grad_mode: str = "parity"
     dp: Optional[int] = None
     synthetic_images: int = 400
+    resume: bool = False            # resume from the latest Orbax state
+    profile_dir: Optional[str] = None  # jax.profiler trace output
 
 
 def reinit_params(params, rng):
@@ -420,7 +422,34 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
     train_losses, val_metrics_history, pairs_per_sec_hist = [], [], []
     step_rng = jax.random.PRNGKey(cfg.seed + 7)
 
-    for epoch in range(cfg.epochs):
+    # Resume support (absent in the reference — its checkpoints are only
+    # reloaded for final eval; SURVEY.md §5).
+    from atq_tpu.train.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    orbax_dir = os.path.join(cfg.output_dir, "orbax")
+    start_epoch = 0
+    if cfg.resume:
+        try:
+            host_state, done_epochs = restore_train_state(
+                orbax_dir, jax.device_get(state)
+            )
+            state = replicate(host_state, mesh)
+            start_epoch = done_epochs
+            if verbose:
+                print(f"Resumed from {orbax_dir} at epoch {start_epoch}")
+        except FileNotFoundError:
+            if verbose:
+                print("No checkpoint to resume from; starting fresh")
+
+    metrics_log = open(os.path.join(cfg.output_dir, "metrics.jsonl"), "a")
+
+    if cfg.profile_dir:
+        jax.profiler.start_trace(cfg.profile_dir)
+
+    for epoch in range(start_epoch, cfg.epochs):
         criterion.set_epoch(epoch, cfg.epochs)
         cl_manager.set_epoch(epoch, cfg.epochs)
         temperature = criterion.get_current_temperature()
@@ -491,7 +520,18 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
                     os.path.join(cfg.output_dir, "best_ema_model.npz"),
                 )
 
+        metrics_log.write(json.dumps({
+            "epoch": epoch + 1, "train_loss": float(train_loss),
+            "pairs_per_sec": float(pairs_per_sec),
+            **{k: float(v) for k, v in val_metrics.items()},
+        }) + "\n")
+        metrics_log.flush()
+
+        if cfg.profile_dir and epoch == start_epoch:
+            jax.profiler.stop_trace()
+
         if (epoch + 1) % cfg.checkpoint_freq == 0 or (epoch + 1) == cfg.epochs:
+            save_train_state(orbax_dir, epoch + 1, state)
             ckpt_path = os.path.join(cfg.output_dir,
                                      f"checkpoint_epoch_{epoch + 1}.npz")
             _save_checkpoint(
@@ -507,6 +547,7 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
             if verbose:
                 print(f"  Saved checkpoint to {ckpt_path}")
 
+    metrics_log.close()
     _save_checkpoint(
         jax.device_get({"params": state["params"], "quant": state["quant"],
                         "batch_stats": state["batch_stats"]}),

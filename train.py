@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--subset-fraction", type=float, default=1.0,
                         help="Fraction of the dataset to use (quick runs)")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from the latest Orbax training state")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of epoch 1 here")
     return parser
 
 
@@ -70,7 +74,7 @@ def main(argv=None):
         l1_factor=args.l1_factor, use_l1=args.use_l1,
         clip_grad=args.clip_grad, bit_packing=args.bit_packing,
         grad_mode=args.grad_mode, data_dir=args.data_dir, dp=args.dp,
-        seed=args.seed,
+        seed=args.seed, resume=args.resume, profile_dir=args.profile_dir,
     )
     loaders = None
     if args.subset_fraction < 1.0:

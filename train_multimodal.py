@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Data-parallel device count (default: all)")
     parser.add_argument("--synthetic_images", type=int, default=400,
                         help="Synthetic corpus size when real data missing")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from the latest Orbax training state")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of epoch 1 here")
     return parser
 
 
