@@ -139,7 +139,9 @@ class Flickr8kDataset:
                  max_length: int = 50, tokenize_captions: bool = True,
                  train_transform: bool = False,
                  vocab: Optional[Dict[str, int]] = None,
-                 synthetic_images: int = 400, seed: int = 0):
+                 synthetic_images: int = 400, seed: int = 0,
+                 cache_images: bool = True):
+        self._image_cache: Optional[dict] = {} if cache_images else None
         self.root_dir = root_dir
         self.split = split
         self.image_size = image_size
@@ -255,21 +257,31 @@ class Flickr8kDataset:
         return len(self.items)
 
     def _load_image(self, name: str, rng) -> np.ndarray:
-        if self.synthetic:
-            img = _synthetic_image(self._latents[name], self.image_size,
-                                   seed=hash(name) % 2**31)
-        else:
-            from PIL import Image
+        # Decoded + resized + normalized images are cached in host RAM
+        # (8k Flickr images at 160px ~= 2.5 GB) — PIL decode on every epoch
+        # would bottleneck the input pipeline; the random flip stays
+        # per-epoch on top of the cached image.
+        img = self._image_cache.get(name) if self._image_cache is not None \
+            else None
+        if img is None:
+            if self.synthetic:
+                raw = _synthetic_image(self._latents[name], self.image_size,
+                                       seed=hash(name) % 2**31)
+            else:
+                from PIL import Image
 
-            path = os.path.join(self.root_dir, "Flicker8k_Dataset", name)
-            with Image.open(path) as im:
-                im = im.convert("RGB").resize(
-                    (self.image_size, self.image_size)
-                )
-                img = np.asarray(im, np.float32) / 255.0
+                path = os.path.join(self.root_dir, "Flicker8k_Dataset", name)
+                with Image.open(path) as im:
+                    im = im.convert("RGB").resize(
+                        (self.image_size, self.image_size)
+                    )
+                    raw = np.asarray(im, np.float32) / 255.0
+            img = (raw - IMAGENET_MEAN) / IMAGENET_STD
+            if self._image_cache is not None:
+                self._image_cache[name] = img
         if self.train_transform and rng.rand() < 0.5:
             img = img[:, ::-1]
-        return (img - IMAGENET_MEAN) / IMAGENET_STD
+        return img
 
     def encode_caption(self, caption: str) -> Tuple[np.ndarray, int]:
         tokens = tokenize(caption)

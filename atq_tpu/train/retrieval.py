@@ -192,13 +192,28 @@ def build_retrieval_train_step(model, tx, criterion, cl_manager,
         drop_rng = jax.random.fold_in(rng, state["step"])
 
         def loss_fn(p):
+            apply_images = images
+            if cfg.use_amp:
+                # TPU-native mixed precision: params + activations compute
+                # in bfloat16 (the analog of the reference's torch.amp
+                # autocast, train_multimodal.py:484-489). Gradients flow
+                # back to the f32 master params through the cast. NOTE:
+                # quantization thresholds then also compute in bf16 — the
+                # same precision effect torch autocast has on the
+                # reference's quantizer.
+                p = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32 else x, p)
+                apply_images = images.astype(jnp.bfloat16)
             (img_emb, txt_emb), mutated = model.apply(
                 {"params": p, "quant": state["quant"],
                  "batch_stats": state["batch_stats"]},
-                images, captions, lengths, return_embeddings=True,
+                apply_images, captions, lengths, return_embeddings=True,
                 train=True, rngs={"dropout": drop_rng},
                 mutable=["batch_stats"],
             )
+            img_emb = img_emb.astype(jnp.float32)
+            txt_emb = txt_emb.astype(jnp.float32)
             from atq_tpu.models.fusion import l2_normalize
 
             similarity = jnp.matmul(l2_normalize(img_emb, axis=1),
