@@ -12,9 +12,16 @@ Preserved quirks:
   mask is present, the already-softmaxed weights are masked to -inf and
   softmaxed a SECOND time (text_encoder.py:292-311, :415-417) — reproduce
   as-is for metric parity;
-- the positional encoding is a non-trainable constant (requires_grad=False
-  Parameter in the reference, text_encoder.py:334-341) — here it is simply
-  computed as a constant, which XLA folds;
+- the positional encoding is a non-trainable 'constants'-collection
+  variable, initialized to the sinusoidal table. NOTE a reference BUG we do
+  NOT reproduce by default: the reference's ``_init_parameters``
+  (text_encoder.py:343-352) loops over ``self.parameters()`` and
+  xavier-reinitializes every parameter with dim > 1 — *including* the
+  requires_grad=False positional-encoding Parameter — so the reference's
+  PE is actually random, not sinusoidal. Checkpoint importers load the
+  reference's (random) PE into the 'constants' variable for bitwise
+  parity; from-scratch training here keeps the true sinusoidal table
+  (use :func:`apply_reference_text_init` for strict reference-init runs);
 - `src_key_padding_mask` may be a boolean mask (True = pad) or a vector of
   sequence lengths.
 """
@@ -74,9 +81,12 @@ class ATQTextEncoder(nn.Module):
                      embedding_init=normal_std(0.02), name="embedding")(x)
         h = _norm(name="embed_norm")(h)
 
-        pe = sinusoidal_positional_encoding(self.max_seq_length,
-                                            self.embed_dim)
-        h = h + jnp.asarray(pe[:, : h.shape[1], :])
+        pe_var = self.variable(
+            "constants", "positional_encoding",
+            lambda: jnp.asarray(sinusoidal_positional_encoding(
+                self.max_seq_length, self.embed_dim)),
+        )
+        h = h + pe_var.value[:, : h.shape[1], :]
         h = nn.Dropout(self.dropout, name="embed_dropout")(
             h, deterministic=deterministic
         )
@@ -120,3 +130,48 @@ class ATQTextEncoder(nn.Module):
     def extract_features(self, x, src_key_padding_mask=None,
                          deterministic: bool = True):
         return self(x, src_key_padding_mask, deterministic)
+
+
+def apply_reference_text_init(variables: dict, rng) -> dict:
+    """Reproduce the reference's ``_init_parameters`` exactly
+    (text_encoder.py:343-352) for strict-parity from-scratch runs:
+    xavier_uniform(gain=0.8) on EVERY parameter with ndim > 1 — including
+    the positional-encoding constant, which the reference accidentally
+    clobbers — then N(0, 0.02) on the embedding."""
+    import jax
+
+    new_params: dict = {}
+
+    def set_in(tree, keys, value):
+        node = tree
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = value
+
+    gain = 0.8
+    for i, (path, leaf) in enumerate(
+        jax.tree_util.tree_leaves_with_path(variables["params"])
+    ):
+        keys = [str(getattr(p, "key", p)) for p in path]
+        key_rng = jax.random.fold_in(rng, i)
+        if keys[-1] == "embedding":
+            value = 0.02 * jax.random.normal(key_rng, leaf.shape, leaf.dtype)
+        elif leaf.ndim > 1:
+            fan_in, fan_out = leaf.shape[-1], leaf.shape[-2]
+            bound = gain * np.sqrt(6.0 / (fan_in + fan_out))
+            value = jax.random.uniform(key_rng, leaf.shape, leaf.dtype,
+                                       -bound, bound)
+        else:
+            value = leaf
+        set_in(new_params, keys, value)
+
+    new_constants = dict(variables.get("constants", {}))
+    pe = new_constants.get("positional_encoding")
+    if pe is not None:
+        fan_in, fan_out = pe.shape[-1], pe.shape[-2]
+        bound = gain * np.sqrt(6.0 / (fan_in + fan_out))
+        new_constants["positional_encoding"] = jax.random.uniform(
+            jax.random.fold_in(rng, 10_000), pe.shape, pe.dtype,
+            -bound, bound,
+        )
+    return {**variables, "params": new_params, "constants": new_constants}

@@ -207,6 +207,7 @@ def build_retrieval_train_step(model, tx, criterion, cl_manager,
                 apply_images = images.astype(jnp.bfloat16)
             (img_emb, txt_emb), mutated = model.apply(
                 {"params": p, "quant": state["quant"],
+                 "constants": state.get("constants", {}),
                  "batch_stats": state["batch_stats"]},
                 apply_images, captions, lengths, return_embeddings=True,
                 train=True, rngs={"dropout": drop_rng},
@@ -308,6 +309,7 @@ def build_embed_fn(model):
         params = state["ema_params"] if use_ema else state["params"]
         return model.apply(
             {"params": params, "quant": state["quant"],
+             "constants": state.get("constants", {}),
              "batch_stats": state["batch_stats"]},
             images, captions, lengths, return_embeddings=True, train=False,
         )
@@ -419,6 +421,7 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
     state = {
         "params": params,
         "quant": variables.get("quant", {}),
+        "constants": variables.get("constants", {}),
         "batch_stats": variables.get("batch_stats", {}),
         "opt_state": tx.init(params),
         "step": jnp.asarray(0, jnp.int32),
@@ -524,6 +527,7 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
             _save_checkpoint(
                 jax.device_get({"params": state["params"],
                                 "quant": state["quant"],
+                                "constants": state.get("constants", {}),
                                 "batch_stats": state["batch_stats"]}),
                 os.path.join(cfg.output_dir, "best_model.npz"),
             )
@@ -531,6 +535,7 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
                 _save_checkpoint(
                     jax.device_get({"params": state["ema_params"],
                                     "quant": state["quant"],
+                                    "constants": state.get("constants", {}),
                                     "batch_stats": state["batch_stats"]}),
                     os.path.join(cfg.output_dir, "best_ema_model.npz"),
                 )
@@ -565,6 +570,7 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
     metrics_log.close()
     _save_checkpoint(
         jax.device_get({"params": state["params"], "quant": state["quant"],
+                        "constants": state.get("constants", {}),
                         "batch_stats": state["batch_stats"]}),
         os.path.join(cfg.output_dir, "final_model.npz"),
     )
@@ -587,6 +593,7 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
         best = load_checkpoint(best_path)
         state["params"] = replicate(best["params"], mesh)
         state["quant"] = replicate(best["quant"], mesh)
+        state["constants"] = replicate(best.get("constants", {}), mesh)
         state["batch_stats"] = replicate(best.get("batch_stats", {}), mesh)
         if verbose:
             print(f"Loaded best model from {best_path}")

@@ -106,6 +106,77 @@ def import_classifier_state_dict(sd: Dict[str, np.ndarray],
     return params, quant, stats
 
 
+def _import_quantized_linear(sd, prefix: str, params: dict, quant: dict,
+                             path: tuple, sparsity: float = 0.1):
+    """Map one reference TernaryLinear/RPB layer's tensors into our trees."""
+    _set(params, path + ("weight",), sd[f"{prefix}.weight"])
+    _set(params, path + ("alpha",), sd[f"{prefix}.alpha"])
+    if f"{prefix}.bias" in sd:
+        _set(params, path + ("bias",), sd[f"{prefix}.bias"])
+    if f"{prefix}.precision_mask" in sd:
+        _set(quant, path + ("precision_mask",), sd[f"{prefix}.precision_mask"])
+        _set(quant, path + ("sparsity_target",), np.float32(sparsity))
+
+
+def _import_layer_norm(sd, prefix: str, params: dict, path: tuple):
+    _set(params, path + ("scale",), sd[f"{prefix}.weight"])
+    _set(params, path + ("bias",), sd[f"{prefix}.bias"])
+
+
+def import_text_encoder_state_dict(sd: Dict[str, np.ndarray],
+                                   num_layers: int = 4,
+                                   prefix: str = "",
+                                   sparsity_target: float = 0.3):
+    """Reference ATQTextEncoder state_dict -> (params, quant) for
+    models.text_encoder.ATQTextEncoder.
+
+    Reference module names (text_encoder.py:252-314): embedding, embed_norm,
+    layers.{i}.self_attn.{pre_layer_norm,q/k/v/out_proj}, layers.{i}.
+    {linear1,linear2,norm1,norm2,gate}, norm, attention_pool.{0,2}, scaling.
+    The fixed positional encoding is recomputed, not imported.
+    """
+    p = prefix
+    params: dict = {}
+    quant: dict = {}
+    constants: dict = {}
+    initial = min(0.1, sparsity_target)
+
+    # The reference's PE parameter was clobbered by its own xavier re-init
+    # (see models/text_encoder.py docstring) — import whatever the
+    # checkpoint holds rather than recomputing the sinusoid.
+    if f"{p}positional_encoding" in sd:
+        _set(constants, ("positional_encoding",),
+             sd[f"{p}positional_encoding"])
+
+    _set(params, ("embedding", "embedding"), sd[f"{p}embedding.weight"])
+    _import_layer_norm(sd, f"{p}embed_norm", params, ("embed_norm",))
+
+    for i in range(num_layers):
+        lp = f"{p}layers.{i}"
+        fpath = (f"layers_{i}",)
+        _import_layer_norm(sd, f"{lp}.self_attn.pre_layer_norm", params,
+                           fpath + ("self_attn", "pre_layer_norm"))
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _import_quantized_linear(
+                sd, f"{lp}.self_attn.{proj}", params, quant,
+                fpath + ("self_attn", proj), sparsity=initial,
+            )
+        for lin in ("linear1", "linear2"):
+            _import_quantized_linear(sd, f"{lp}.{lin}", params, quant,
+                                     fpath + (lin,), sparsity=initial)
+        for norm in ("norm1", "norm2"):
+            _import_layer_norm(sd, f"{lp}.{norm}", params, fpath + (norm,))
+        _set(params, fpath + ("gate",), sd[f"{lp}.gate"])
+
+    _import_layer_norm(sd, f"{p}norm", params, ("norm",))
+    _import_quantized_linear(sd, f"{p}attention_pool.0", params, quant,
+                             ("attention_pool_0",), sparsity=initial)
+    _import_quantized_linear(sd, f"{p}attention_pool.2", params, quant,
+                             ("attention_pool_2",), sparsity=initial)
+    _set(params, ("scaling",), sd[f"{p}scaling"])
+    return params, quant, constants
+
+
 def export_classifier_params(params: dict, quant: dict,
                              batch_stats: dict) -> Dict[str, np.ndarray]:
     """Inverse of :func:`import_classifier_state_dict` (torch naming)."""

@@ -95,9 +95,23 @@ def main(argv=None):
             hidden_dim=args.hidden_dim, use_residual=args.use_residual,
             max_seq_length=args.max_seq_length,
         )
+        constants = ckpt.get("constants")
+        if not constants:
+            # Older checkpoints: recreate the non-trainable constants
+            # (positional encoding) from a fresh init.
+            import jax.numpy as jnp
+
+            fresh = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, args.image_size, args.image_size, 3)),
+                jnp.zeros((1, args.max_seq_length), jnp.int32),
+                jnp.asarray([5], jnp.int32),
+            )
+            constants = fresh.get("constants", {})
         state = {
             "params": ckpt["params"],
             "quant": ckpt.get("quant", {}),
+            "constants": constants,
             "batch_stats": ckpt.get("batch_stats", {}),
         }
         embed_fn = jax.jit(build_embed_fn(model),
