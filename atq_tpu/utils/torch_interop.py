@@ -177,6 +177,138 @@ def import_text_encoder_state_dict(sd: Dict[str, np.ndarray],
     return params, quant, constants
 
 
+def import_fusion_state_dict(sd: Dict[str, np.ndarray], prefix: str = "",
+                             modalities=("image", "text"),
+                             fusion_method: str = "cross_attention"):
+    """Reference MultimodalFusion state_dict -> (params, quant) for
+    models.fusion.MultimodalFusion (reference fusion.py:214-423)."""
+    p = prefix
+    params: dict = {}
+    quant: dict = {}
+    initial = 0.05  # fusion initial sparsity (fusion.py:227-229)
+
+    for name in modalities:
+        base = f"{p}modality_projections.{name}"
+        fpath = (f"modality_projections_{name}",)
+        _import_quantized_linear(sd, f"{base}.projection", params, quant,
+                                 fpath + ("projection",),
+                                 sparsity=min(0.1, {"image": 0.3,
+                                                    "text": 0.2}.get(name,
+                                                                     0.25)))
+        _import_layer_norm(sd, f"{base}.norm", params, fpath + ("norm",))
+        _set(params, (f"modality_scales_{name}",),
+             sd[f"{p}modality_scales.{name}"])
+
+    if fusion_method == "cross_attention":
+        for attn in ("text2image", "image2text"):
+            base = f"{p}{attn}"
+            fpath = (attn,)
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                _import_quantized_linear(sd, f"{base}.{proj}", params, quant,
+                                         fpath + (proj,), sparsity=initial)
+            for ln in ("layer_norm_q", "layer_norm_k", "layer_norm_v",
+                       "layer_norm_out"):
+                _import_layer_norm(sd, f"{base}.{ln}", params, fpath + (ln,))
+            _set(params, fpath + ("gate",), sd[f"{base}.gate"])
+            _set(params, fpath + ("attention_scale",),
+                 sd[f"{base}.attention_scale"])
+        for name in ("text", "image"):
+            if f"{p}cross_modal_align.{name}.weight" in sd:
+                _import_quantized_linear(
+                    sd, f"{p}cross_modal_align.{name}", params, quant,
+                    (f"cross_modal_align_{name}",), sparsity=initial,
+                )
+        _import_quantized_linear(sd, f"{p}final_fusion", params, quant,
+                                 ("final_fusion",), sparsity=initial)
+    elif fusion_method == "concat":
+        _import_quantized_linear(sd, f"{p}fusion_layer", params, quant,
+                                 ("fusion_layer",), sparsity=initial)
+    else:
+        _import_quantized_linear(sd, f"{p}fusion_gate", params, quant,
+                                 ("fusion_gate",), sparsity=initial)
+
+    _import_layer_norm(sd, f"{p}norm", params, ("norm",))
+    return params, quant
+
+
+# torchvision wraps the backbone as nn.Sequential(children[:-1]): indices
+# 0=conv1, 1=bn1, 4..7=layer1..4 (multimodal_classifier.py:31-38).
+_RESNET_SEQ = {"0": "conv1", "1": "bn1", "4": "layer1", "5": "layer2",
+               "6": "layer3", "7": "layer4"}
+
+
+def _import_resnet_sequential(sd, prefix: str, arch: str = "resnet18"):
+    """Reference image_encoder.base_model.* (Sequential indices) -> the
+    flat torchvision-style names models/resnet.py's converter expects."""
+    renamed = {}
+    for key, value in sd.items():
+        if not key.startswith(prefix):
+            continue
+        rest = key[len(prefix):]
+        idx, _, tail = rest.partition(".")
+        if idx not in _RESNET_SEQ:
+            continue
+        stem = _RESNET_SEQ[idx]
+        renamed[f"{stem}.{tail}"] = value
+    from atq_tpu.models.resnet import load_torch_state_dict
+
+    return load_torch_state_dict(renamed, arch=arch)
+
+
+def import_retrieval_state_dict(sd: Dict[str, np.ndarray],
+                                vision_sparsity: float = 0.3,
+                                text_sparsity: float = 0.2,
+                                num_text_layers: int = 4,
+                                arch: str = "resnet18"):
+    """Reference ATQMultimodalRetrieval state_dict -> (params, quant,
+    constants, batch_stats) for models.retrieval.ATQMultimodalRetrieval."""
+    params: dict = {}
+    quant: dict = {}
+    stats: dict = {}
+    iv = min(0.1, vision_sparsity)
+    it = min(0.1, text_sparsity)
+
+    # Image encoder.
+    r_params, r_stats = _import_resnet_sequential(
+        sd, "image_encoder.base_model.", arch=arch
+    )
+    params["image_encoder"] = {"base_model": r_params}
+    stats["image_encoder"] = {"base_model": r_stats}
+    ie = params["image_encoder"]
+    _import_layer_norm(sd, "image_encoder.feature_norm", ie,
+                       ("feature_norm",))
+    ie_quant: dict = {}
+    _import_quantized_linear(sd, "image_encoder.projector", ie, ie_quant,
+                             ("projector",), sparsity=iv)
+    quant["image_encoder"] = ie_quant
+    _import_layer_norm(sd, "image_encoder.proj_norm", ie, ("proj_norm",))
+    _set(ie, ("scaling",), sd["image_encoder.scaling"])
+
+    # Text encoder.
+    t_params, t_quant, t_constants = import_text_encoder_state_dict(
+        sd, num_layers=num_text_layers, prefix="text_encoder.",
+        sparsity_target=text_sparsity,
+    )
+    params["text_encoder"] = t_params
+    quant["text_encoder"] = t_quant
+    constants = {"text_encoder": t_constants}
+
+    # Fusion.
+    f_params, f_quant = import_fusion_state_dict(sd, prefix="fusion.")
+    params["fusion"] = f_params
+    quant["fusion"] = f_quant
+
+    # Joint projectors + norms + temperature.
+    _import_quantized_linear(sd, "text_projector", params, quant,
+                             ("text_projector",), sparsity=it)
+    _import_quantized_linear(sd, "image_projector", params, quant,
+                             ("image_projector",), sparsity=iv)
+    _import_layer_norm(sd, "img_norm", params, ("img_norm",))
+    _import_layer_norm(sd, "text_norm", params, ("text_norm",))
+    _set(params, ("temperature",), np.asarray(sd["temperature"]).reshape(()))
+    return params, quant, constants, stats
+
+
 def export_classifier_params(params: dict, quant: dict,
                              batch_stats: dict) -> Dict[str, np.ndarray]:
     """Inverse of :func:`import_classifier_state_dict` (torch naming)."""

@@ -145,3 +145,49 @@ def test_lr_schedules():
     assert float(step(49)) == 1.0     # epoch 4
     assert float(step(50)) == 0.5     # epoch 5
     assert float(step(100)) == 0.25   # epoch 10
+
+
+def test_amp_train_step_runs():
+    """--use_amp bf16 path compiles and produces finite loss/updates."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from atq_tpu.losses.contrastive import (
+        ContrastiveLearningManager,
+        HardNegativeMiningInfoNCE,
+    )
+    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
+    from atq_tpu.train.retrieval import (
+        RetrievalConfig,
+        build_retrieval_train_step,
+        make_retrieval_optimizer,
+    )
+
+    cfg = RetrievalConfig(batch_size=4, image_size=32, embed_dim=32,
+                          hidden_dim=64, max_seq_length=8,
+                          use_residual=True, use_amp=True)
+    model = ATQMultimodalRetrieval(vocab_size=40, embed_dim=32,
+                                   hidden_dim=64, use_residual=True,
+                                   max_seq_length=8)
+    rng = jax.random.PRNGKey(0)
+    v = model.init(rng, jnp.zeros((2, 32, 32, 3)),
+                   jnp.zeros((2, 8), jnp.int32), jnp.asarray([4, 4]))
+    tx = make_retrieval_optimizer(cfg, 10)
+    crit = HardNegativeMiningInfoNCE(temperature_schedule=False)
+    mgr = ContrastiveLearningManager(criterion=crit)
+    state = {"params": v["params"], "quant": v.get("quant", {}),
+             "constants": v.get("constants", {}),
+             "batch_stats": v.get("batch_stats", {}),
+             "opt_state": tx.init(v["params"]),
+             "step": jnp.asarray(0, jnp.int32)}
+    step = jax.jit(build_retrieval_train_step(model, tx, crit, mgr, cfg),
+                   static_argnames=("curriculum_stage",))
+    rngd = np.random.RandomState(0)
+    batch = (rngd.randn(4, 32, 32, 3).astype(np.float32),
+             rngd.randint(0, 40, (4, 8)).astype(np.int32),
+             np.full(4, 6, np.int32))
+    state, loss = step(state, batch, jnp.float32(0.07), 0,
+                       jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    # master params stay f32
+    assert state["params"]["temperature"].dtype == jnp.float32

@@ -140,3 +140,175 @@ def test_text_encoder_stack_parity(ref_text_encoder):
         jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out2), ref_out2, rtol=2e-3,
                                atol=2e-3)
+
+
+@pytest.fixture(scope="module")
+def ref_fusion(reference_modules):
+    del reference_modules
+    import importlib.util
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_fusion", "/root/reference/models/fusion.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        yield mod.MultimodalFusion
+    finally:
+        sys.path.remove("/root/reference")
+
+
+def test_fusion_stack_parity(ref_fusion):
+    """Import a reference MultimodalFusion checkpoint and compare fused
+    embeddings — validates modality projections, bidirectional cross
+    attention, alignment layers, and the final fusion head."""
+    import torch
+
+    from atq_tpu.models.fusion import MultimodalFusion
+    from atq_tpu.utils.torch_interop import import_fusion_state_dict
+
+    torch.manual_seed(0)
+    ref = ref_fusion(input_dims={"image": 48, "text": 32}, output_dim=32,
+                     fusion_method="cross_attention", num_heads=4,
+                     use_rpb=True)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, quant = import_fusion_state_dict(sd)
+
+    model = MultimodalFusion(input_dims={"image": 48, "text": 32},
+                             output_dim=32,
+                             fusion_method="cross_attention", num_heads=4,
+                             use_rpb=True)
+    rng = np.random.RandomState(0)
+    img = rng.randn(3, 48).astype(np.float32)
+    txt = rng.randn(3, 32).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref({"image": torch.tensor(img),
+                       "text": torch.tensor(txt)}).numpy()
+    out = model.apply({"params": params, "quant": quant},
+                      {"image": jnp.asarray(img), "text": jnp.asarray(txt)})
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_full_retrieval_import_structure(ref_text_encoder, ref_fusion):
+    """Synthesize a reference-style ATQMultimodalRetrieval state_dict (real
+    reference text-encoder + fusion submodules, generated ResNet tensors,
+    projector heads) and check the imported trees match our model's init
+    structure leaf-for-leaf."""
+    import torch
+
+    import jax
+    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
+    from atq_tpu.utils.torch_interop import (
+        _RESNET_SEQ,
+        import_retrieval_state_dict,
+    )
+
+    torch.manual_seed(0)
+    dim, hidden = 32, 64
+    sd = {}
+
+    # ResNet18 tensors with torchvision Sequential naming.
+    rng = np.random.RandomState(0)
+
+    def add_conv(name, cout, cin, k):
+        sd[name + ".weight"] = rng.randn(cout, cin, k, k).astype(np.float32)
+
+    def add_bn(name, c):
+        sd[name + ".weight"] = np.ones(c, np.float32)
+        sd[name + ".bias"] = np.zeros(c, np.float32)
+        sd[name + ".running_mean"] = np.zeros(c, np.float32)
+        sd[name + ".running_var"] = np.ones(c, np.float32)
+
+    pfx = "image_encoder.base_model."
+    add_conv(pfx + "0", 64, 3, 7)
+    add_bn(pfx + "1", 64)
+    widths = [64, 128, 256, 512]
+    for stage in range(4):
+        w = widths[stage]
+        for b in range(2):
+            base = f"{pfx}{stage + 4}.{b}"
+            cin = widths[stage - 1] if stage > 0 and b == 0 else w
+            add_conv(base + ".conv1", w, cin, 3)
+            add_bn(base + ".bn1", w)
+            add_conv(base + ".conv2", w, w, 3)
+            add_bn(base + ".bn2", w)
+            if stage > 0 and b == 0:
+                add_conv(base + ".downsample.0", w, widths[stage - 1], 1)
+                add_bn(base + ".downsample.1", w)
+
+    # Image encoder heads.
+    def add_ln(name, c):
+        sd[name + ".weight"] = np.ones(c, np.float32)
+        sd[name + ".bias"] = np.zeros(c, np.float32)
+
+    def add_rpb(name, out_f, in_f):
+        sd[name + ".weight"] = rng.randn(out_f, in_f).astype(np.float32)
+        sd[name + ".alpha"] = np.ones(1, np.float32)
+        sd[name + ".bias"] = np.zeros(out_f, np.float32)
+        sd[name + ".precision_mask"] = (
+            rng.rand(out_f, in_f) < 0.1).astype(np.float32)
+
+    add_ln("image_encoder.feature_norm", 512)
+    add_rpb("image_encoder.projector", dim, 512)
+    add_ln("image_encoder.proj_norm", dim)
+    sd["image_encoder.scaling"] = np.asarray([4.0], np.float32)
+
+    # Real reference text encoder + fusion, prefixed.
+    ref_te = ref_text_encoder(vocab_size=60, embed_dim=dim, num_heads=4,
+                              num_layers=4, dim_feedforward=hidden,
+                              use_rpb=True, sparsity_target=0.2,
+                              max_seq_length=50)
+    for k, v in ref_te.state_dict().items():
+        sd[f"text_encoder.{k}"] = v.detach().numpy()
+    ref_fu = ref_fusion(input_dims={"image": dim, "text": dim},
+                        output_dim=dim, fusion_method="cross_attention",
+                        num_heads=4, use_rpb=True)
+    for k, v in ref_fu.state_dict().items():
+        sd[f"fusion.{k}"] = v.detach().numpy()
+
+    add_rpb("text_projector", dim, dim)
+    add_rpb("image_projector", dim, dim)
+    add_ln("img_norm", dim)
+    add_ln("text_norm", dim)
+    sd["temperature"] = np.asarray(0.07, np.float32)
+
+    params, quant, constants, stats = import_retrieval_state_dict(
+        sd, num_text_layers=4
+    )
+
+    model = ATQMultimodalRetrieval(vocab_size=60, embed_dim=dim,
+                                   hidden_dim=hidden, use_residual=True,
+                                   max_seq_length=50)
+    init = model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 64, 64, 3)),
+                      jnp.zeros((1, 50), jnp.int32),
+                      jnp.asarray([5], jnp.int32))
+
+    def shapes(tree):
+        return {jax.tree_util.keystr(path): leaf.shape
+                for path, leaf in jax.tree_util.tree_leaves_with_path(tree)}
+
+    for name, ours, ref in [("params", params, init["params"]),
+                            ("quant", quant, init["quant"]),
+                            ("constants", constants, init["constants"]),
+                            ("batch_stats", stats, init["batch_stats"])]:
+        s_ours, s_ref = shapes(ours), shapes(ref)
+        missing = set(s_ref) - set(s_ours)
+        extra = set(s_ours) - set(s_ref)
+        assert not missing, f"{name} missing: {sorted(missing)[:5]}"
+        assert not extra, f"{name} extra: {sorted(extra)[:5]}"
+        for k in s_ref:
+            assert s_ours[k] == s_ref[k], (name, k, s_ours[k], s_ref[k])
+
+    # And the imported model actually runs.
+    out = model.apply(
+        {"params": params, "quant": quant, "constants": constants,
+         "batch_stats": stats},
+        jnp.zeros((2, 64, 64, 3)), jnp.zeros((2, 50), jnp.int32),
+        jnp.asarray([5, 5], jnp.int32),
+    )
+    assert out.shape == (2, 2)
