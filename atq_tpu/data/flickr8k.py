@@ -337,19 +337,41 @@ class Flickr8kLoader:
                    np.asarray(lengths, np.int32))
 
 
+def load_vocab_file(path: str) -> Dict[str, int]:
+    """Load a recorded word_to_idx vocabulary (JSON) — the escape hatch for
+    exact vocab/checkpoint parity with a reference-trained run whose
+    tokenization environment (e.g. NLTK punkt availability) differs."""
+    import json
+
+    with open(path) as f:
+        return {k: int(v) for k, v in json.load(f).items()}
+
+
+def save_vocab_file(word_to_idx: Dict[str, int], path: str):
+    import json
+
+    with open(path, "w") as f:
+        json.dump(word_to_idx, f)
+
+
 def prepare_flickr8k_dataloaders(batch_size: int = 32, image_size: int = 224,
                                  max_length: int = 50,
                                  tokenize_captions: bool = True,
                                  num_workers: int = 2,
                                  root_dir: str = "./data/flickr8k",
-                                 synthetic_images: int = 400):
+                                 synthetic_images: int = 400,
+                                 vocab_file: Optional[str] = None):
     """Returns (train, val, test, vocab_size, word_to_idx) — the reference's
     exact signature (multimodal_data.py:311-390). num_workers accepted for
-    API compatibility (loading is in-process here)."""
+    API compatibility (loading is in-process here). ``vocab_file`` forces a
+    recorded vocabulary instead of rebuilding one from the train captions."""
     del num_workers
+    forced_vocab = (load_vocab_file(vocab_file)
+                    if vocab_file and tokenize_captions else None)
     train_ds = Flickr8kDataset(root_dir, "train", image_size, max_length,
                                tokenize_captions, train_transform=True,
-                               synthetic_images=synthetic_images)
+                               synthetic_images=synthetic_images,
+                               vocab=forced_vocab)
     vocab = train_ds.word_to_idx if tokenize_captions else None
     val_ds = Flickr8kDataset(root_dir, "val", image_size, max_length,
                              tokenize_captions, vocab=vocab,

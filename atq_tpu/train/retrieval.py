@@ -98,6 +98,7 @@ class RetrievalConfig:
     synthetic_images: int = 400
     resume: bool = False            # resume from the latest Orbax state
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    vocab_file: Optional[str] = None   # recorded-vocab escape hatch
 
 
 def reinit_params(params, rng):
@@ -344,8 +345,14 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
             max_length=cfg.max_seq_length, tokenize_captions=True,
             num_workers=cfg.num_workers, root_dir=cfg.data_dir,
             synthetic_images=cfg.synthetic_images,
+            vocab_file=cfg.vocab_file,
         )
     train_loader, val_loader, test_loader, vocab_size, word_to_idx = loaders
+    # Persist the vocabulary next to the checkpoints so later evaluation /
+    # fine-tuning runs can force the identical token ids.
+    from atq_tpu.data.flickr8k import save_vocab_file
+
+    save_vocab_file(word_to_idx, os.path.join(cfg.output_dir, "vocab.json"))
 
     model = ATQMultimodalRetrieval(
         vocab_size=vocab_size, embed_dim=cfg.embed_dim,

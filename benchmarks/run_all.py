@@ -1,0 +1,256 @@
+#!/usr/bin/env python
+"""Benchmark harness for the 5 BASELINE configs (BASELINE.json).
+
+Run on TPU: ``python benchmarks/run_all.py [--out results.json]``.
+Each config measures the real jitted path at steady state:
+
+1. Fashion-MNIST ATQ classifier (TernaryLinear, sparsity 0.3) — train
+   imgs/sec/chip
+2. Fashion-MNIST + RPB + distillation — train imgs/sec/chip (the headline
+   bench.py metric)
+3. Mixed-precision ATQ (importance-allocated EnhancedATQTransformerLayer)
+   — train tokens/sec/chip
+4. Bit-packed 2-bit inference — latency + measured weight-memory
+   compression
+5. Flickr8k multimodal contrastive (gradual-quant config) — train
+   pairs/sec/chip
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _steady_state(step_fn, state, args, warmup=3, iters=20):
+    import jax
+
+    for _ in range(warmup):
+        state, out = step_fn(state, *args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        state, out = step_fn(state, *args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def bench_classifier(use_rpb: bool, distill: bool, batch=256):
+    import jax
+    import jax.numpy as jnp
+
+    from atq_tpu.models.image_classifier import (
+        ATQImageClassifier,
+        BaselineCNNClassifier,
+    )
+    from atq_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from atq_tpu.train.classifier import (
+        ClassifierConfig,
+        build_train_step,
+        make_optimizer,
+    )
+
+    cfg = ClassifierConfig(use_rpb=use_rpb, distill=distill,
+                           batch_size=batch)
+    atq_model = ATQImageClassifier(use_rpb=use_rpb, sparsity_target=0.3)
+    base_model = BaselineCNNClassifier()
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((2, 28, 28, 1), jnp.float32)
+    atq_vars = atq_model.init(rng, sample)
+    base_vars = base_model.init(jax.random.fold_in(rng, 1), sample)
+    atq_tx = make_optimizer(cfg, 200, weight_decay=1e-4)
+    base_tx = make_optimizer(cfg, 200)
+    mesh = make_mesh()
+    state = replicate({
+        "atq_params": atq_vars["params"],
+        "quant": atq_vars.get("quant", {}),
+        "atq_batch_stats": atq_vars.get("batch_stats", {}),
+        "atq_opt_state": atq_tx.init(atq_vars["params"]),
+        "base_params": base_vars["params"],
+        "base_batch_stats": base_vars.get("batch_stats", {}),
+        "base_opt_state": base_tx.init(base_vars["params"]),
+        "step": jnp.asarray(0, jnp.int32),
+    }, mesh)
+    step = jax.jit(build_train_step(atq_model, base_model, atq_tx, base_tx,
+                                    cfg), donate_argnums=(0,))
+    rngd = np.random.RandomState(0)
+    batch_data = shard_batch(
+        (rngd.randn(batch, 28, 28, 1).astype(np.float32),
+         rngd.randint(0, 10, batch).astype(np.int32)), mesh,
+    )
+
+    def step_fn(state, *args):
+        return step(state, batch_data, 0.3, 1e-5, jax.random.PRNGKey(1))
+
+    dt = _steady_state(step_fn, state, ())
+    return {"ms_per_step": dt * 1000, "imgs_per_sec": batch / dt}
+
+
+def bench_mixed_precision(batch=64, seq=128, dim=256):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from atq_tpu.nn.mixed_precision import EnhancedATQTransformerLayer
+
+    layer = EnhancedATQTransformerLayer(embed_dim=dim, num_heads=8,
+                                        dim_feedforward=4 * dim,
+                                        layer_idx=2, total_layers=4)
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(batch, seq, dim).astype(np.float32)
+    )
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    tx = optax.adam(1e-3)
+    state = {"params": variables["params"],
+             "quant": variables.get("quant", {}),
+             "opt_state": tx.init(variables["params"])}
+
+    @jax.jit
+    def step(state):
+        def loss_fn(p):
+            out = layer.apply({"params": p, "quant": state["quant"]}, x)
+            return jnp.mean(out ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+        updates, opt_state = tx.update(grads, state["opt_state"])
+        return {**state,
+                "params": optax.apply_updates(state["params"], updates),
+                "opt_state": opt_state}, loss
+
+    def step_fn(state, *args):
+        return step(state)
+
+    dt = _steady_state(step_fn, state, ())
+    return {"ms_per_step": dt * 1000,
+            "tokens_per_sec": batch * seq / dt}
+
+
+def bench_packed_inference(batch=64):
+    import jax
+    import jax.numpy as jnp
+
+    from atq_tpu.models.image_classifier import ATQImageClassifier
+    from atq_tpu.serve.packed_model import PackedClassifier
+
+    model = ATQImageClassifier(use_rpb=True)
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(batch, 28, 28, 1).astype(np.float32)
+    )
+    variables = model.init(jax.random.PRNGKey(0), x)
+    served = PackedClassifier(variables["params"], variables["quant"],
+                              variables["batch_stats"])
+    dense_apply = jax.jit(lambda v, x: model.apply(v, x, train=False))
+
+    out = served(x)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(50):
+        out = served(x)
+    jax.block_until_ready(out)
+    packed_ms = (time.time() - t0) / 50 * 1000
+
+    out = dense_apply(variables, x)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(50):
+        out = dense_apply(variables, x)
+    jax.block_until_ready(out)
+    dense_ms = (time.time() - t0) / 50 * 1000
+
+    fp = served.memory_footprint_bytes()
+    return {
+        "packed_ms_per_batch": packed_ms,
+        "dense_ms_per_batch": dense_ms,
+        "classifier_weight_compression":
+            fp["dense_fp32_bytes"] / fp["packed_bytes"],
+        "pure_ternary_compression": 16.0,
+    }
+
+
+def bench_retrieval(batch=64, image_size=160):
+    import jax
+    import jax.numpy as jnp
+
+    from atq_tpu.losses.contrastive import (
+        ContrastiveLearningManager,
+        HardNegativeMiningInfoNCE,
+    )
+    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
+    from atq_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from atq_tpu.train.retrieval import (
+        RetrievalConfig,
+        build_retrieval_train_step,
+        make_retrieval_optimizer,
+    )
+
+    cfg = RetrievalConfig(batch_size=batch, image_size=image_size,
+                          embed_dim=192, hidden_dim=384, use_residual=True,
+                          gradual_quant=True)
+    model = ATQMultimodalRetrieval(vocab_size=3000, embed_dim=192,
+                                   hidden_dim=384, use_residual=True,
+                                   max_seq_length=50)
+    rng = jax.random.PRNGKey(0)
+    v = model.init(rng, jnp.zeros((2, image_size, image_size, 3)),
+                   jnp.zeros((2, 50), jnp.int32), jnp.asarray([5, 5]))
+    tx = make_retrieval_optimizer(cfg, 100)
+    crit = HardNegativeMiningInfoNCE()
+    mgr = ContrastiveLearningManager(criterion=crit)
+    mesh = make_mesh()
+    state = replicate({
+        "params": v["params"], "quant": v.get("quant", {}),
+        "constants": v.get("constants", {}),
+        "batch_stats": v.get("batch_stats", {}),
+        "opt_state": tx.init(v["params"]),
+        "step": jnp.asarray(0, jnp.int32),
+    }, mesh)
+    step = jax.jit(build_retrieval_train_step(model, tx, crit, mgr, cfg),
+                   static_argnames=("curriculum_stage",),
+                   donate_argnums=(0,))
+    rngd = np.random.RandomState(0)
+    batch_data = shard_batch(
+        (rngd.randn(batch, image_size, image_size, 3).astype(np.float32),
+         rngd.randint(0, 3000, (batch, 50)).astype(np.int32),
+         np.full(batch, 20, np.int32)), mesh,
+    )
+
+    def step_fn(state, *args):
+        return step(state, batch_data, jnp.float32(0.07), 0,
+                    jax.random.PRNGKey(1))
+
+    dt = _steady_state(step_fn, state, (), warmup=3, iters=10)
+    return {"ms_per_step": dt * 1000, "pairs_per_sec": batch / dt}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", type=str, default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    results = {"backend": jax.default_backend(),
+               "device": str(jax.devices()[0])}
+    print("1/5 Fashion-MNIST TernaryLinear classifier...")
+    results["config1_ternary_classifier"] = bench_classifier(False, False)
+    print("2/5 Fashion-MNIST RPB + distillation...")
+    results["config2_rpb_distill"] = bench_classifier(True, True)
+    print("3/5 Mixed-precision transformer layer...")
+    results["config3_mixed_precision"] = bench_mixed_precision()
+    print("4/5 Bit-packed inference path...")
+    results["config4_packed_inference"] = bench_packed_inference()
+    print("5/5 Flickr8k retrieval contrastive...")
+    results["config5_retrieval"] = bench_retrieval()
+
+    print(json.dumps(results, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
