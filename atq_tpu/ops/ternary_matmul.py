@@ -66,6 +66,101 @@ def _kernel(x_ref, wp_ref, alpha_ref, out_ref, *, kq: int):
     out_ref[:] = acc * alpha_ref[0]
 
 
+def _kernel_rpb(x_ref, wp_ref, corr_ref, alpha_ref, out_ref, *, kq: int,
+                k: int):
+    """Packed ternary matmul with the RPB sparse correction fused in-kernel
+    (the north-star form): out = x @ (unpack(Wp) * alpha + corr)^T."""
+    packed_i32 = wp_ref[:].astype(jnp.int32)
+    acc = jnp.zeros((x_ref.shape[0], wp_ref.shape[0]), jnp.float32)
+    for s in range(4):
+        w_s = ((packed_i32 >> (2 * s)) & 0x3).astype(jnp.float32) - 1.0
+        x_s = x_ref[:, s * kq:(s + 1) * kq]
+        acc = acc + jax.lax.dot_general(
+            x_s, w_s,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc = acc * alpha_ref[0]
+    acc = acc + jax.lax.dot_general(
+        x_ref[:, :k], corr_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("w_shape",))
+def _pallas_matmul_rpb(x, w_packed_planar, correction, w_shape, alpha):
+    """Fused packed matmul + RPB correction on the Pallas path.
+
+    ``correction`` is the dense (N, K) bf16 residual ``mask*(w - w_t*a)``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, k = w_shape
+    m = x.shape[0]
+    k_padded = k + ((-k) % _K_ALIGN)
+    kq = k_padded // 4
+    tile_m = min(_TILE_M, max(8, ((m + 7) // 8) * 8))
+    m_pad = (-m) % tile_m
+    n_pad = (-n) % _TILE_N
+    if k_padded != k:
+        x = jnp.pad(x, ((0, 0), (0, k_padded - k)))
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    if n_pad:
+        w_packed_planar = jnp.pad(
+            w_packed_planar, ((0, n_pad), (0, 0)),
+            constant_values=jnp.uint8(0b01010101),
+        )
+        correction = jnp.pad(correction, ((0, n_pad), (0, 0)))
+    mp, np_ = m + m_pad, n + n_pad
+
+    grid = (mp // tile_m, np_ // _TILE_N)
+    out = pl.pallas_call(
+        functools.partial(_kernel_rpb, kq=kq, k=k),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, k_padded), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE_N, kq), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE_N, k), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, _TILE_N), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * mp * np_ * k_padded,
+            bytes_accessed=mp * k_padded * 4 + np_ * kq + np_ * k * 2
+            + mp * np_ * 4,
+            transcendentals=0,
+        ),
+    )(x.astype(jnp.float32), w_packed_planar,
+      correction.astype(jnp.bfloat16),
+      jnp.asarray(alpha, jnp.float32).reshape(1))
+    return out[:m, :n]
+
+
+def packed_ternary_matmul_rpb(x, w_packed_planar, correction, w_shape,
+                              alpha=1.0):
+    """``x @ (unpack(Wp)*alpha + correction)^T`` — single fused kernel on
+    TPU, XLA fallback elsewhere."""
+    n, k = w_shape
+    x = jnp.asarray(x)
+    if pallas_eligible((x.shape[0], k), w_shape):
+        return _pallas_matmul_rpb(x, jnp.asarray(w_packed_planar),
+                                  jnp.asarray(correction), (n, k),
+                                  alpha).astype(x.dtype)
+    w = unpack_planar(jnp.asarray(w_packed_planar), k, dtype=x.dtype)
+    w_eff = w * jnp.asarray(alpha, x.dtype) + jnp.asarray(
+        correction, x.dtype)
+    return jnp.matmul(x, w_eff.T)
+
+
 @functools.partial(jax.jit, static_argnames=("w_shape",))
 def _pallas_matmul(x, w_packed_planar, w_shape, alpha):
     from jax.experimental import pallas as pl

@@ -57,12 +57,20 @@ def pack_quantized_layer(params: Dict, quant: Optional[Dict] = None) -> Dict:
 
 
 def packed_linear_apply(entry: Dict, x: jax.Array) -> jax.Array:
-    """Forward through a packed layer: Pallas kernel + sparse correction."""
+    """Forward through a packed layer. When an RPB correction is present
+    the whole op runs as ONE fused Pallas kernel (ternary dots + correction
+    dot accumulate in the same VMEM tile — the in-kernel sparse correction
+    of the design north star)."""
     n, k = entry["shape"]
-    y = packed_ternary_matmul(x, entry["packed"], (n, k),
-                              alpha=entry["alpha"])
     if "correction" in entry:
-        y = y + jnp.matmul(x, entry["correction"].T.astype(x.dtype))
+        from atq_tpu.ops.ternary_matmul import packed_ternary_matmul_rpb
+
+        y = packed_ternary_matmul_rpb(x, entry["packed"],
+                                      entry["correction"], (n, k),
+                                      alpha=entry["alpha"])
+    else:
+        y = packed_ternary_matmul(x, entry["packed"], (n, k),
+                                  alpha=entry["alpha"])
     if "bias" in entry:
         y = y + entry["bias"]
     return y

@@ -423,6 +423,42 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
     if verbose:
         print(f"ATQ Test Accuracy: {test_acc:.1f}%")
         print(f"Baseline Test Accuracy: {base_test_acc:.1f}%")
+
+    # Efficiency comparison (reference train.py:356-370).
+    from atq_tpu.utils.metrics import (
+        count_parameters,
+        measure_inference_time,
+        measure_model_memory,
+    )
+
+    one = jnp.ones((1, 28, 28, 1), jnp.float32)
+    atq_infer = jax.jit(lambda s, x: atq_model.apply(
+        {"params": s["atq_params"], "quant": s.get("quant", {}),
+         "batch_stats": s["atq_batch_stats"]}, x, train=False))
+    base_infer = jax.jit(lambda s, x: base_model.apply(
+        {"params": s["base_params"],
+         "batch_stats": s["base_batch_stats"]}, x, train=False))
+    atq_time = measure_inference_time(lambda x: atq_infer(state, x), one)
+    base_time = measure_inference_time(lambda x: base_infer(state, x), one)
+    atq_params_n = count_parameters(jax.device_get(state["atq_params"]))
+    base_params_n = count_parameters(jax.device_get(state["base_params"]))
+    atq_mem = measure_model_memory(jax.device_get(state["atq_params"]))
+    base_mem = measure_model_memory(jax.device_get(state["base_params"]))
+    results.update({
+        "atq_inference_ms": atq_time, "baseline_inference_ms": base_time,
+        "atq_params": atq_params_n, "baseline_params": base_params_n,
+        "atq_memory_mb": atq_mem, "baseline_memory_mb": base_mem,
+    })
+    if verbose:
+        print("\nEfficiency Comparison:")
+        print(f"ATQ Model: {atq_params_n:,} params | {atq_mem:.2f} MB | "
+              f"{atq_time:.2f} ms | {test_acc:.1f}%")
+        print(f"Baseline: {base_params_n:,} params | {base_mem:.2f} MB | "
+              f"{base_time:.2f} ms | {base_test_acc:.1f}%")
+        print(f"Ratios: Params {base_params_n / max(1, atq_params_n):.2f}x"
+              f" | Memory {base_mem / max(1e-9, atq_mem):.2f}x | "
+              f"Speed {base_time / max(1e-9, atq_time):.2f}x | "
+              f"Acc Delta {test_acc - base_test_acc:.1f}%")
     return state, results
 
 
