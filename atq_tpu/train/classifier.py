@@ -73,6 +73,7 @@ class ClassifierConfig:
     resume: bool = False
     profile_dir: Optional[str] = None
     orbax_freq: int = 5  # epochs between full-state Orbax saves
+    device_augment: bool = True  # run train-time augmentation on-device
 
 
 def _l1_penalty(params) -> jax.Array:
@@ -147,6 +148,13 @@ def build_train_step(atq_model, base_model, atq_tx, base_tx,
                    l1_weight, rng):
         images, labels = batch
         drop_rng = jax.random.fold_in(rng, state["step"])
+        if cfg.device_augment:
+            from atq_tpu.data.augment import classifier_augment
+
+            aug_rng = jax.random.fold_in(drop_rng, 1)
+            images = classifier_augment(
+                images, aug_rng, flip=cfg.dataset == "fashion_mnist"
+            )
 
         # --- baseline (teacher) ---
         def base_loss_fn(p):
@@ -258,6 +266,10 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
         else:
             raise ValueError(f"Unknown dataset: {cfg.dataset}")
     train_loader, val_loader, test_loader = loaders
+    if cfg.device_augment and hasattr(train_loader, "augment"):
+        # Augmentation moves inside the jitted step (data/augment.py);
+        # the host loader only normalizes.
+        train_loader.augment = False
 
     hidden_size = 256 if cfg.wider_layers else 128
     atq_model = ATQImageClassifier(

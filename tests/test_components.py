@@ -191,3 +191,23 @@ def test_amp_train_step_runs():
     assert np.isfinite(float(loss))
     # master params stay f32
     assert state["params"]["temperature"].dtype == jnp.float32
+
+
+def test_device_augmentation():
+    from atq_tpu.data.augment import classifier_augment, random_rotate
+
+    rng = jax.random.PRNGKey(0)
+    images = jnp.asarray(
+        np.random.RandomState(0).rand(4, 28, 28, 1).astype(np.float32)
+    )
+    out = classifier_augment(images, rng, flip=True)
+    assert out.shape == images.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+    # rotation changes pixels but preserves overall energy approximately
+    rot = random_rotate(images, rng, 5.0)
+    assert not np.allclose(np.asarray(rot), np.asarray(images))
+    assert abs(float(jnp.mean(rot)) - float(jnp.mean(images))) < 0.05
+    # zero rotation is identity
+    rot0 = random_rotate(images, rng, 0.0)
+    np.testing.assert_allclose(np.asarray(rot0), np.asarray(images),
+                               atol=1e-5)
