@@ -179,6 +179,7 @@ class ArrayLoader:
     flip: bool = False
     seed: int = 0
     drop_remainder: bool = False
+    raw: bool = False  # yield uint8 batches; normalization happens on-device
 
     def __post_init__(self):
         self._epoch = 0
@@ -199,6 +200,10 @@ class ArrayLoader:
                 if self.drop_remainder else n)
         for start in range(0, stop, self.batch_size):
             idx = order[start:start + self.batch_size]
+            if self.raw:
+                yield (self.images[idx][..., None],
+                       self.labels[idx].astype(np.int32))
+                continue
             batch = self.images[idx].astype(np.float32)
             if self.augment:
                 angles = rng.uniform(-5, 5, len(idx))

@@ -150,7 +150,12 @@ def build_train_step(atq_model, base_model, atq_tx, base_tx,
         drop_rng = jax.random.fold_in(rng, state["step"])
         if cfg.device_augment:
             from atq_tpu.data.augment import classifier_augment
+            from atq_tpu.data.mnist import FASHION_STATS, MNIST_STATS
 
+            # uint8 batch straight off the host; normalize + augment here.
+            mean, std = (FASHION_STATS if cfg.dataset == "fashion_mnist"
+                         else MNIST_STATS)
+            images = (images.astype(jnp.float32) / 255.0 - mean) / std
             aug_rng = jax.random.fold_in(drop_rng, 1)
             images = classifier_augment(
                 images, aug_rng, flip=cfg.dataset == "fashion_mnist"
@@ -266,10 +271,11 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
         else:
             raise ValueError(f"Unknown dataset: {cfg.dataset}")
     train_loader, val_loader, test_loader = loaders
-    if cfg.device_augment and hasattr(train_loader, "augment"):
-        # Augmentation moves inside the jitted step (data/augment.py);
-        # the host loader only normalizes.
+    if cfg.device_augment and hasattr(train_loader, "raw"):
+        # Augmentation AND normalization move inside the jitted step
+        # (data/augment.py); the host only gathers uint8 batches.
         train_loader.augment = False
+        train_loader.raw = True
 
     hidden_size = 256 if cfg.wider_layers else 128
     atq_model = ATQImageClassifier(
@@ -356,21 +362,25 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
             )
             state["quant"] = replicate(state["quant"], mesh)
 
-        totals = {"atq_correct": 0, "base_correct": 0, "count": 0,
-                  "loss": 0.0}
         t0 = time.time()
         n_batches = 0
+        metric_acc = None
         for batch in train_loader:
             batch = shard_batch(batch, mesh)
             state, metrics = train_step(
                 state, batch, current_sparsity, l1_weight, step_rng
             )
             n_batches += 1
-            m = jax.device_get(metrics)
-            for k in ("atq_correct", "base_correct", "count"):
-                totals[k] += int(m[k])
-            totals["loss"] += float(m["loss"])
+            # Accumulate on-device; a per-batch device_get would force a
+            # host sync every step and serialize the pipeline.
+            metric_acc = (metrics if metric_acc is None else
+                          jax.tree_util.tree_map(jnp.add, metric_acc,
+                                                 metrics))
         jax.block_until_ready(state["atq_params"])
+        m = jax.device_get(metric_acc)
+        totals = {"atq_correct": int(m["atq_correct"]),
+                  "base_correct": int(m["base_correct"]),
+                  "count": int(m["count"]), "loss": float(m["loss"])}
         epoch_time = time.time() - t0
         imgs_per_sec = totals["count"] / max(epoch_time, 1e-9)
         results["imgs_per_sec"].append(imgs_per_sec)

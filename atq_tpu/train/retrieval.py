@@ -504,10 +504,12 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
                                      jnp.float32(temperature),
                                      cl_manager.curriculum_stage, step_rng,
                                      baseline_embeds)
-            epoch_loss += float(jax.device_get(loss))
+            # Accumulate on-device; per-batch device_get would sync.
+            epoch_loss = loss if n_batches == 0 else epoch_loss + loss
             n_batches += 1
             n_pairs += int(batch[0].shape[0])
         jax.block_until_ready(state["params"])
+        epoch_loss = float(jax.device_get(epoch_loss))
         epoch_time = time.time() - t0
         pairs_per_sec = n_pairs / max(epoch_time, 1e-9)
         pairs_per_sec_hist.append(pairs_per_sec)
