@@ -365,7 +365,9 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
         t0 = time.time()
         n_batches = 0
         metric_acc = None
-        for batch in train_loader:
+        from atq_tpu.data.prefetch import PrefetchLoader
+
+        for batch in PrefetchLoader(train_loader):
             batch = shard_batch(batch, mesh)
             state, metrics = train_step(
                 state, batch, current_sparsity, l1_weight, step_rng

@@ -491,7 +491,9 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
 
         epoch_loss, n_batches, n_pairs = 0.0, 0, 0
         t0 = time.time()
-        for batch in train_loader:
+        from atq_tpu.data.prefetch import PrefetchLoader
+
+        for batch in PrefetchLoader(train_loader):
             batch = shard_batch(batch, mesh)
             baseline_embeds = None
             if baseline_step is not None:

@@ -211,3 +211,21 @@ def test_device_augmentation():
     rot0 = random_rotate(images, rng, 0.0)
     np.testing.assert_allclose(np.asarray(rot0), np.asarray(images),
                                atol=1e-5)
+
+
+def test_prefetch_loader():
+    from atq_tpu.data.prefetch import PrefetchLoader
+
+    batches = [np.full((2,), i) for i in range(7)]
+    out = list(PrefetchLoader(batches, depth=2))
+    assert len(out) == 7
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(b, batches[i])
+
+    # errors in the producer propagate to the consumer
+    def bad():
+        yield 1
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(PrefetchLoader(bad()))
