@@ -140,7 +140,11 @@ class Flickr8kDataset:
                  train_transform: bool = False,
                  vocab: Optional[Dict[str, int]] = None,
                  synthetic_images: int = 400, seed: int = 0,
-                 cache_images: bool = True):
+                 cache_images: bool = True, raw_uint8: bool = False):
+        # raw_uint8: yield resized uint8 images and let the device do
+        # ImageNet normalization + flips (4x smaller host->device transfer,
+        # which dominates when the chip sits behind a network tunnel).
+        self.raw_uint8 = raw_uint8
         self._image_cache: Optional[dict] = {} if cache_images else None
         self.root_dir = root_dir
         self.split = split
@@ -276,9 +280,15 @@ class Flickr8kDataset:
                         (self.image_size, self.image_size)
                     )
                     raw = np.asarray(im, np.float32) / 255.0
-            img = (raw - IMAGENET_MEAN) / IMAGENET_STD
+            if self.raw_uint8:
+                img = np.round(raw * 255.0).astype(np.uint8)
+            else:
+                img = (raw - IMAGENET_MEAN) / IMAGENET_STD
             if self._image_cache is not None:
                 self._image_cache[name] = img
+        if self.raw_uint8:
+            # Flip + normalization happen on-device (train/retrieval.py).
+            return img
         if self.train_transform and rng.rand() < 0.5:
             img = img[:, ::-1]
         return img
@@ -360,7 +370,8 @@ def prepare_flickr8k_dataloaders(batch_size: int = 32, image_size: int = 224,
                                  num_workers: int = 2,
                                  root_dir: str = "./data/flickr8k",
                                  synthetic_images: int = 400,
-                                 vocab_file: Optional[str] = None):
+                                 vocab_file: Optional[str] = None,
+                                 raw_uint8: bool = False):
     """Returns (train, val, test, vocab_size, word_to_idx) — the reference's
     exact signature (multimodal_data.py:311-390). num_workers accepted for
     API compatibility (loading is in-process here). ``vocab_file`` forces a
@@ -371,14 +382,16 @@ def prepare_flickr8k_dataloaders(batch_size: int = 32, image_size: int = 224,
     train_ds = Flickr8kDataset(root_dir, "train", image_size, max_length,
                                tokenize_captions, train_transform=True,
                                synthetic_images=synthetic_images,
-                               vocab=forced_vocab)
+                               vocab=forced_vocab, raw_uint8=raw_uint8)
     vocab = train_ds.word_to_idx if tokenize_captions else None
     val_ds = Flickr8kDataset(root_dir, "val", image_size, max_length,
                              tokenize_captions, vocab=vocab,
-                             synthetic_images=synthetic_images)
+                             synthetic_images=synthetic_images,
+                             raw_uint8=raw_uint8)
     test_ds = Flickr8kDataset(root_dir, "test", image_size, max_length,
                               tokenize_captions, vocab=vocab,
-                              synthetic_images=synthetic_images)
+                              synthetic_images=synthetic_images,
+                              raw_uint8=raw_uint8)
     train_loader = Flickr8kLoader(train_ds, batch_size, shuffle=True,
                                   drop_remainder=True)
     val_loader = Flickr8kLoader(val_ds, batch_size)

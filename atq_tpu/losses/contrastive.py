@@ -212,6 +212,17 @@ class ContrastiveLearningManager:
             return 1 - jax.nn.sigmoid(pos_similarities * 10 - 5)
         return jnp.ones_like(pos_similarities)
 
+    def curriculum_kind(self) -> int:
+        """Collapse the stage to its weighting rule: 0 = easy-positive
+        (first stage), 2 = hard-positive (final stage), 1 = uniform
+        (everything between). Pass this as a TRACED scalar into jitted
+        steps so stage transitions don't recompile."""
+        if self.curriculum_stage == 0:
+            return 0
+        if self.curriculum_stage == self.curriculum_steps - 1:
+            return 2
+        return 1
+
     def mine_hard_examples(self, embed_fn, batches, max_examples: int = 1000):
         """Scan batches for positives with similarity below threshold.
 
@@ -245,3 +256,19 @@ class ContrastiveLearningManager:
         weights = self.get_curriculum_weight(similarity)
         return self.criterion(image_embeddings, text_embeddings, weights,
                               temperature=temperature)
+
+
+def curriculum_weights_traced(similarity, kind):
+    """Traced-stage version of the curriculum weighting (kind in {0,1,2},
+    see :meth:`ContrastiveLearningManager.curriculum_kind`) — lets the
+    jitted train step survive stage transitions without recompiling."""
+    pos = jnp.diagonal(similarity)
+    return jax.lax.switch(
+        jnp.clip(kind, 0, 2),
+        [
+            lambda p: jax.nn.sigmoid(p * 10),
+            lambda p: jnp.ones_like(p),
+            lambda p: 1 - jax.nn.sigmoid(p * 10 - 5),
+        ],
+        pos,
+    )

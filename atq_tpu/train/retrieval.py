@@ -99,6 +99,7 @@ class RetrievalConfig:
     resume: bool = False            # resume from the latest Orbax state
     profile_dir: Optional[str] = None  # jax.profiler trace output
     vocab_file: Optional[str] = None   # recorded-vocab escape hatch
+    device_preprocess: bool = True  # uint8 transfer; normalize/flip on-device
 
 
 def reinit_params(params, rng):
@@ -180,17 +181,26 @@ def make_retrieval_optimizer(cfg: RetrievalConfig, steps_per_epoch: int):
 def build_retrieval_train_step(model, tx, criterion, cl_manager,
                                cfg: RetrievalConfig):
     """One jitted step: embeddings -> curriculum-weighted hard-negative
-    InfoNCE -> update (+ EMA). curriculum_stage is a static python int per
-    epoch (3 stages -> at most 3 compiles). When distillation is on, the
+    InfoNCE -> update (+ EMA). The curriculum stage enters as a TRACED
+    weighting-rule scalar (losses/contrastive.py:curriculum_kind) so stage
+    transitions never recompile. When distillation is on, the
     step also receives the baseline's embeddings and reproduces the
     reference's distillation term (train_multimodal.py:504-524) — which is
     KL between a similarity matrix and its own detached softmax, i.e.
     exactly zero with zero gradient; kept faithful rather than 'fixed'."""
 
-    def train_step(state, batch, temperature, curriculum_stage, rng,
+    def train_step(state, batch, temperature, curriculum_kind, rng,
                    baseline_embeds=None):
         images, captions, lengths = batch
         drop_rng = jax.random.fold_in(rng, state["step"])
+        if images.dtype == jnp.uint8:
+            from atq_tpu.data.augment import random_hflip
+            from atq_tpu.data.flickr8k import IMAGENET_MEAN, IMAGENET_STD
+
+            images = (images.astype(jnp.float32) / 255.0
+                      - IMAGENET_MEAN) / IMAGENET_STD
+            images = random_hflip(images,
+                                  jax.random.fold_in(drop_rng, 2))
 
         def loss_fn(p):
             apply_images = images
@@ -218,10 +228,11 @@ def build_retrieval_train_step(model, tx, criterion, cl_manager,
             txt_emb = txt_emb.astype(jnp.float32)
             from atq_tpu.models.fusion import l2_normalize
 
+            from atq_tpu.losses.contrastive import curriculum_weights_traced
+
             similarity = jnp.matmul(l2_normalize(img_emb, axis=1),
                                     l2_normalize(txt_emb, axis=1).T)
-            cl_manager.curriculum_stage = curriculum_stage
-            weights = cl_manager.get_curriculum_weight(similarity)
+            weights = curriculum_weights_traced(similarity, curriculum_kind)
             loss = criterion(img_emb, txt_emb, weights,
                              temperature=temperature)
             if baseline_embeds is not None:
@@ -307,6 +318,11 @@ def build_baseline_train_step(baseline_model, baseline_tx, criterion):
 def build_embed_fn(model):
     def embed(state, batch, use_ema: bool = False):
         images, captions, lengths = batch
+        if images.dtype == jnp.uint8:
+            from atq_tpu.data.flickr8k import IMAGENET_MEAN, IMAGENET_STD
+
+            images = (images.astype(jnp.float32) / 255.0
+                      - IMAGENET_MEAN) / IMAGENET_STD
         params = state["ema_params"] if use_ema else state["params"]
         return model.apply(
             {"params": params, "quant": state["quant"],
@@ -346,6 +362,7 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
             num_workers=cfg.num_workers, root_dir=cfg.data_dir,
             synthetic_images=cfg.synthetic_images,
             vocab_file=cfg.vocab_file,
+            raw_uint8=cfg.device_preprocess,
         )
     train_loader, val_loader, test_loader, vocab_size, word_to_idx = loaders
     # Persist the vocabulary next to the checkpoints so later evaluation /
@@ -439,7 +456,7 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
 
     train_step = jax.jit(
         build_retrieval_train_step(model, tx, criterion, cl_manager, cfg),
-        static_argnames=("curriculum_stage",), donate_argnums=(0,),
+        donate_argnums=(0,),
     )
     embed_fn = jax.jit(build_embed_fn(model), static_argnames=("use_ema",))
 
@@ -504,8 +521,8 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
                     baseline_embeds = embeds
             state, loss = train_step(state, batch,
                                      jnp.float32(temperature),
-                                     cl_manager.curriculum_stage, step_rng,
-                                     baseline_embeds)
+                                     jnp.int32(cl_manager.curriculum_kind()),
+                                     step_rng, baseline_embeds)
             # Accumulate on-device; per-batch device_get would sync.
             epoch_loss = loss if n_batches == 0 else epoch_loss + loss
             n_batches += 1

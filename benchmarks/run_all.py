@@ -209,7 +209,6 @@ def bench_retrieval(batch=64, image_size=160):
         "step": jnp.asarray(0, jnp.int32),
     }, mesh)
     step = jax.jit(build_retrieval_train_step(model, tx, crit, mgr, cfg),
-                   static_argnames=("curriculum_stage",),
                    donate_argnums=(0,))
     rngd = np.random.RandomState(0)
     batch_data = shard_batch(
@@ -219,7 +218,7 @@ def bench_retrieval(batch=64, image_size=160):
     )
 
     def step_fn(state, *args):
-        return step(state, batch_data, jnp.float32(0.07), 0,
+        return step(state, batch_data, jnp.float32(0.07), jnp.int32(0),
                     jax.random.PRNGKey(1))
 
     dt = _steady_state(step_fn, state, (), warmup=3, iters=10)

@@ -180,13 +180,12 @@ def test_amp_train_step_runs():
              "batch_stats": v.get("batch_stats", {}),
              "opt_state": tx.init(v["params"]),
              "step": jnp.asarray(0, jnp.int32)}
-    step = jax.jit(build_retrieval_train_step(model, tx, crit, mgr, cfg),
-                   static_argnames=("curriculum_stage",))
+    step = jax.jit(build_retrieval_train_step(model, tx, crit, mgr, cfg))
     rngd = np.random.RandomState(0)
     batch = (rngd.randn(4, 32, 32, 3).astype(np.float32),
              rngd.randint(0, 40, (4, 8)).astype(np.int32),
              np.full(4, 6, np.int32))
-    state, loss = step(state, batch, jnp.float32(0.07), 0,
+    state, loss = step(state, batch, jnp.float32(0.07), jnp.int32(0),
                        jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
     # master params stay f32
@@ -229,3 +228,20 @@ def test_prefetch_loader():
 
     with pytest.raises(RuntimeError, match="boom"):
         list(PrefetchLoader(bad()))
+
+
+def test_visualize_flickr8k_samples(tmp_path):
+    from atq_tpu.data.flickr8k import (
+        Flickr8kDataset,
+        Flickr8kLoader,
+        visualize_flickr8k_samples,
+    )
+
+    ds = Flickr8kDataset(root_dir=str(tmp_path / "missing"), split="train",
+                         image_size=32, max_length=10, synthetic_images=20)
+    loader = Flickr8kLoader(ds, batch_size=4)
+    out = tmp_path / "samples.png"
+    visualize_flickr8k_samples(loader, num_samples=2,
+                               idx_to_word=ds.idx_to_word,
+                               out_path=str(out))
+    assert out.exists()
