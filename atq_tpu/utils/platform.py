@@ -11,8 +11,24 @@ from __future__ import annotations
 
 import os
 
+DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/atq_tpu_jax")
 
-def apply_platform_env():
+
+def enable_compilation_cache(cache_dir: str | None = None):
+    """Persistent XLA compilation cache: large train-step compiles (~60s
+    for the retrieval model over the tunnel) hit the disk cache on every
+    subsequent process."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          cache_dir or DEFAULT_CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def apply_platform_env(compilation_cache: bool = True):
     platforms = os.environ.get("JAX_PLATFORMS")
     if platforms:
         import jax
@@ -21,3 +37,5 @@ def apply_platform_env():
             jax.config.update("jax_platforms", platforms)
         except Exception:
             pass
+    if compilation_cache:
+        enable_compilation_cache()

@@ -28,6 +28,10 @@ def bench_tpu() -> float:
     import jax
     import jax.numpy as jnp
 
+    from atq_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from atq_tpu.train.classifier import (
         ClassifierConfig,
         build_train_step,
