@@ -240,6 +240,12 @@ class Flickr8kDataset:
             for name in self.image_names
             for caption in self.captions.get(name, [])
         ]
+        # Unique-image ids per item: lets multi-positive losses identify the
+        # 5 captions sharing an image within a batch.
+        name_to_id = {n: i for i, n in enumerate(self.image_names)}
+        self.item_image_ids = np.asarray(
+            [name_to_id[name] for name, _ in self.items], np.int32
+        )
         print(f"Loaded {len(self.items)} image-caption pairs for "
               f"{self.split} split")
 
@@ -319,7 +325,9 @@ class Flickr8kLoader:
 
     def __init__(self, dataset: Flickr8kDataset, batch_size: int,
                  shuffle: bool = False, seed: int = 0,
-                 drop_remainder: bool = False):
+                 drop_remainder: bool = False,
+                 with_image_ids: bool = False):
+        self.with_image_ids = with_image_ids
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -343,8 +351,11 @@ class Flickr8kLoader:
         for start in range(0, stop, self.batch_size):
             idx = order[start:start + self.batch_size]
             images, ids, lengths = zip(*(self.dataset[i] for i in idx))
-            yield (np.stack(images), np.stack(ids),
-                   np.asarray(lengths, np.int32))
+            batch = (np.stack(images), np.stack(ids),
+                     np.asarray(lengths, np.int32))
+            if self.with_image_ids:
+                batch = batch + (self.dataset.item_image_ids[idx],)
+            yield batch
 
 
 def load_vocab_file(path: str) -> Dict[str, int]:
@@ -371,7 +382,8 @@ def prepare_flickr8k_dataloaders(batch_size: int = 32, image_size: int = 224,
                                  root_dir: str = "./data/flickr8k",
                                  synthetic_images: int = 400,
                                  vocab_file: Optional[str] = None,
-                                 raw_uint8: bool = False):
+                                 raw_uint8: bool = False,
+                                 with_image_ids: bool = False):
     """Returns (train, val, test, vocab_size, word_to_idx) — the reference's
     exact signature (multimodal_data.py:311-390). num_workers accepted for
     API compatibility (loading is in-process here). ``vocab_file`` forces a
@@ -393,7 +405,8 @@ def prepare_flickr8k_dataloaders(batch_size: int = 32, image_size: int = 224,
                               synthetic_images=synthetic_images,
                               raw_uint8=raw_uint8)
     train_loader = Flickr8kLoader(train_ds, batch_size, shuffle=True,
-                                  drop_remainder=True)
+                                  drop_remainder=True,
+                                  with_image_ids=with_image_ids)
     val_loader = Flickr8kLoader(val_ds, batch_size)
     test_loader = Flickr8kLoader(test_ds, batch_size)
     if tokenize_captions:

@@ -144,11 +144,14 @@ class MultiPositiveInfoNCE:
         self.temperature = temperature
         self.lambda_reg = lambda_reg
 
-    def __call__(self, image_embeddings, text_embeddings, positive_mask):
+    def __call__(self, image_embeddings, text_embeddings, positive_mask,
+                 temperature=None):
+        if temperature is None:
+            temperature = self.temperature
         image_embeddings = l2_normalize(image_embeddings, axis=1)
         text_embeddings = l2_normalize(text_embeddings, axis=1)
         similarity = jnp.matmul(image_embeddings,
-                                text_embeddings.T) / self.temperature
+                                text_embeddings.T) / temperature
         batch_size = similarity.shape[0]
         positive_mask = positive_mask.astype(similarity.dtype)
 

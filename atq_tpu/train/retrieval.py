@@ -100,6 +100,8 @@ class RetrievalConfig:
     profile_dir: Optional[str] = None  # jax.profiler trace output
     vocab_file: Optional[str] = None   # recorded-vocab escape hatch
     device_preprocess: bool = True  # uint8 transfer; normalize/flip on-device
+    use_multi_positive: bool = False  # MultiPositiveInfoNCE over the 5
+    # captions/image (the reference defines the loss but never wires it)
 
 
 def reinit_params(params, rng):
@@ -191,7 +193,10 @@ def build_retrieval_train_step(model, tx, criterion, cl_manager,
 
     def train_step(state, batch, temperature, curriculum_kind, rng,
                    baseline_embeds=None):
-        images, captions, lengths = batch
+        if cfg.use_multi_positive:
+            images, captions, lengths, image_ids = batch
+        else:
+            images, captions, lengths = batch
         drop_rng = jax.random.fold_in(rng, state["step"])
         if images.dtype == jnp.uint8:
             from atq_tpu.data.augment import random_hflip
@@ -230,11 +235,21 @@ def build_retrieval_train_step(model, tx, criterion, cl_manager,
 
             from atq_tpu.losses.contrastive import curriculum_weights_traced
 
-            similarity = jnp.matmul(l2_normalize(img_emb, axis=1),
-                                    l2_normalize(txt_emb, axis=1).T)
-            weights = curriculum_weights_traced(similarity, curriculum_kind)
-            loss = criterion(img_emb, txt_emb, weights,
-                             temperature=temperature)
+            if cfg.use_multi_positive:
+                from atq_tpu.losses.contrastive import MultiPositiveInfoNCE
+
+                positive_mask = (image_ids[:, None]
+                                 == image_ids[None, :]).astype(jnp.float32)
+                mp = MultiPositiveInfoNCE(lambda_reg=cfg.contrastive_reg)
+                loss = mp(img_emb, txt_emb, positive_mask,
+                          temperature=temperature)
+            else:
+                similarity = jnp.matmul(l2_normalize(img_emb, axis=1),
+                                        l2_normalize(txt_emb, axis=1).T)
+                weights = curriculum_weights_traced(similarity,
+                                                    curriculum_kind)
+                loss = criterion(img_emb, txt_emb, weights,
+                                 temperature=temperature)
             if baseline_embeds is not None:
                 base_img, base_txt = baseline_embeds
                 temp = 3.0
@@ -363,6 +378,7 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
             synthetic_images=cfg.synthetic_images,
             vocab_file=cfg.vocab_file,
             raw_uint8=cfg.device_preprocess,
+            with_image_ids=cfg.use_multi_positive,
         )
     train_loader, val_loader, test_loader, vocab_size, word_to_idx = loaders
     # Persist the vocabulary next to the checkpoints so later evaluation /
@@ -515,7 +531,7 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
             baseline_embeds = None
             if baseline_step is not None:
                 baseline_state, _bloss, embeds = baseline_step(
-                    baseline_state, batch, jnp.float32(temperature)
+                    baseline_state, batch[:3], jnp.float32(temperature)
                 )
                 if cfg.distill:
                     baseline_embeds = embeds

@@ -106,6 +106,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--vocab_file", type=str, default=None,
                         help="Use a recorded vocabulary JSON (exact token-id"
                              " parity with a previous run)")
+    parser.add_argument("--use_multi_positive", action="store_true",
+                        help="Train with MultiPositiveInfoNCE over the 5"
+                             " captions per image (framework extension)")
     return parser
 
 
