@@ -17,9 +17,17 @@ DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/atq_tpu_jax")
 def enable_compilation_cache(cache_dir: str | None = None):
     """Persistent XLA compilation cache: large train-step compiles (~60s
     for the retrieval model over the tunnel) hit the disk cache on every
-    subsequent process."""
+    subsequent process.
+
+    TPU-only: CPU executables may be AOT-compiled on a remote compile
+    service with different machine features than this host; reloading those
+    from a persistent cache risks SIGILL, so the CPU backend skips it."""
     import jax
 
+    platforms = (os.environ.get("JAX_PLATFORMS", "")
+                 or str(jax.config.jax_platforms or ""))
+    if "cpu" in platforms:
+        return
     try:
         jax.config.update("jax_compilation_cache_dir",
                           cache_dir or DEFAULT_CACHE_DIR)
