@@ -26,6 +26,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 from atq_tpu.core.packing import pack_planar, unpack_planar, unpack_rows
 
@@ -95,7 +96,6 @@ def _pallas_matmul_rpb(x, w_packed_planar, correction, w_shape, alpha):
 
     ``correction`` is the dense (N, K) bf16 residual ``mask*(w - w_t*a)``.
     """
-    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n, k = w_shape
@@ -161,9 +161,102 @@ def packed_ternary_matmul_rpb(x, w_packed_planar, correction, w_shape,
     return jnp.matmul(x, w_eff.T)
 
 
+# Above this x-block byte size the kernel tiles the K axis as a third grid
+# dimension (VMEM is ~16 MB/core; leave room for W, correction, output).
+_VMEM_X_BUDGET = 4 * 1024 * 1024
+_K_SLAB = 2048  # columns per K-grid step (quarter-aligned: _K_SLAB % 4 == 0)
+
+
+def _kernel_kblocked(x_ref, wp_ref, alpha_ref, out_ref, *, slabs_per_q: int):
+    """Grid (M, N, 4*slabs_per_q): the third dimension walks quarter s
+    (bit-field) major, byte-slab minor. Each step decodes ONE field of one
+    byte slab and accumulates a (tile_m, tile_n) partial dot into out_ref
+    (same output block revisited across the K dimension)."""
+    t = pl.program_id(2)
+    s = t // slabs_per_q  # which 2-bit field
+    packed_i32 = wp_ref[:].astype(jnp.int32)
+    w_s = ((packed_i32 >> (2 * s)) & 0x3).astype(jnp.float32) - 1.0
+    partial = jax.lax.dot_general(
+        x_ref[:], w_s,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] = out_ref[:] + partial
+
+    @pl.when(t == pl.num_programs(2) - 1)
+    def _():
+        out_ref[:] = out_ref[:] * alpha_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("w_shape",))
+def _pallas_matmul_kblocked(x, w_packed_planar, w_shape, alpha):
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, k = w_shape
+    m = x.shape[0]
+    # The packing fixes the quarter stride: kq bytes per row, quarter s of
+    # the padded K axis at columns [s*kq, (s+1)*kq). Slab size must divide
+    # kq (and stay lane-aligned) so each grid step stays inside one quarter.
+    kq = w_packed_planar.shape[1]
+    k_padded = 4 * kq
+    slab_bytes = min(_K_SLAB, kq)
+    while kq % slab_bytes != 0 and slab_bytes > 128:
+        slab_bytes -= 128
+    slabs_per_q = kq // slab_bytes
+    slab_cols = slab_bytes       # 1 byte : 1 column of the quarter
+
+    tile_m = min(_TILE_M, max(8, ((m + 7) // 8) * 8))
+    m_pad = (-m) % tile_m
+    n_pad = (-n) % _TILE_N
+    if k_padded != x.shape[1]:
+        x = jnp.pad(x, ((0, 0), (0, k_padded - x.shape[1])))
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    if n_pad:
+        w_packed_planar = jnp.pad(
+            w_packed_planar, ((0, n_pad), (0, 0)),
+            constant_values=jnp.uint8(0b01010101),
+        )
+    mp, np_ = m + m_pad, n + n_pad
+
+    grid = (mp // tile_m, np_ // _TILE_N, 4 * slabs_per_q)
+    out = pl.pallas_call(
+        functools.partial(_kernel_kblocked, slabs_per_q=slabs_per_q),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        grid=grid,
+        in_specs=[
+            # x slab: quarter-major walk over the padded K axis — step t
+            # covers columns [t * slab_cols, (t+1) * slab_cols) which lie
+            # entirely inside field t // slabs_per_q's quarter.
+            pl.BlockSpec((tile_m, slab_cols), lambda i, j, t: (i, t),
+                         memory_space=pltpu.VMEM),
+            # wp slab: the byte range repeats per field.
+            pl.BlockSpec(
+                (_TILE_N, slab_bytes),
+                lambda i, j, t, spq=slabs_per_q: (j, t % spq),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, _TILE_N), lambda i, j, t: (i, j),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * k_padded,
+            bytes_accessed=mp * k_padded * 4 + np_ * kq + mp * np_ * 4,
+            transcendentals=0,
+        ),
+    )(x.astype(jnp.float32), w_packed_planar,
+      jnp.asarray(alpha, jnp.float32).reshape(1))
+    return out[:m, :n]
+
+
 @functools.partial(jax.jit, static_argnames=("w_shape",))
 def _pallas_matmul(x, w_packed_planar, w_shape, alpha):
-    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n, k = w_shape
@@ -241,6 +334,11 @@ def packed_ternary_matmul(x, w_packed, w_shape, alpha=1.0,
         if layout == "rows":
             # Interleaved -> planar conversion (XLA elementwise, on-device).
             w_packed = pack_planar(unpack_rows(w_packed, k))
+        k_padded = k + ((-k) % _K_ALIGN)
+        tile_m = min(_TILE_M, max(8, ((x.shape[0] + 7) // 8) * 8))
+        if tile_m * k_padded * 4 > _VMEM_X_BUDGET:
+            return _pallas_matmul_kblocked(x, w_packed, (n, k),
+                                           alpha).astype(x.dtype)
         return _pallas_matmul(x, w_packed, (n, k), alpha).astype(x.dtype)
 
     if layout == "planar":
