@@ -21,11 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from atq_tpu.models.fusion import MultimodalFusion, l2_normalize
-from atq_tpu.models.resnet import (
-    FEATURE_DIMS,
-    resnet18_features,
-    resnet50_features,
-)
+from atq_tpu.models.resnet import FEATURE_DIMS  # noqa: F401 (public re-export)
 from atq_tpu.models.text_encoder import ATQTextEncoder
 from atq_tpu.nn.attention import _norm, _proj
 

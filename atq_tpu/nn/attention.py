@@ -171,7 +171,6 @@ class TernaryCrossAttention(nn.Module):
         k = apply_selective_routing(k, threshold=0.01)
         v = apply_selective_routing(v, threshold=0.01)
 
-        squeeze_out = False
         if q.ndim == 2:
             q = q[:, None, :]
         if k.ndim == 2:
@@ -200,8 +199,6 @@ class TernaryCrossAttention(nn.Module):
 
         if out.shape[1] == 1:
             out = out[:, 0, :]
-            squeeze_out = True
-        del squeeze_out
 
         out = _proj(self.use_rpb, self.hidden_dim, 0.2, initial_sparsity,
                     "out_proj", self.grad_mode)(out)

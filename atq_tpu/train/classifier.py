@@ -25,7 +25,6 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
