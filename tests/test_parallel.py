@@ -123,3 +123,82 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_classifier_train_step_dp_equivalence(mesh8):
+    """The full co-trained classifier step on an 8-way sharded batch must
+    produce the same updated parameters as on a single device — GSPMD's
+    gradient all-reduce reproduces global-batch semantics."""
+    from atq_tpu.models.image_classifier import (
+        ATQImageClassifier,
+        BaselineCNNClassifier,
+    )
+    from atq_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from atq_tpu.train.classifier import (
+        ClassifierConfig,
+        build_train_step,
+        make_optimizer,
+    )
+
+    cfg = ClassifierConfig(use_rpb=True, distill=True, batch_size=16,
+                           device_augment=False)
+    atq_model = ATQImageClassifier(use_rpb=True, hidden_size=32)
+    base_model = BaselineCNNClassifier(hidden_size=32)
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((2, 28, 28, 1), jnp.float32)
+    atq_vars = atq_model.init(rng, sample)
+    base_vars = base_model.init(jax.random.fold_in(rng, 1), sample)
+    # SGD isolates gradient equality: Adam's g/sqrt(v) normalization
+    # amplifies float-reassociation noise on near-zero gradients into full
+    # +-lr sign flips, which is optimizer behavior, not a DP bug.
+    import optax
+
+    atq_tx = optax.sgd(0.1)
+    base_tx = optax.sgd(0.1)
+
+    def fresh_state():
+        return {
+            "atq_params": atq_vars["params"],
+            "quant": atq_vars.get("quant", {}),
+            "atq_batch_stats": atq_vars.get("batch_stats", {}),
+            "atq_opt_state": atq_tx.init(atq_vars["params"]),
+            "base_params": base_vars["params"],
+            "base_batch_stats": base_vars.get("batch_stats", {}),
+            "base_opt_state": base_tx.init(base_vars["params"]),
+            "step": jnp.asarray(0, jnp.int32),
+        }
+
+    step = jax.jit(build_train_step(atq_model, base_model, atq_tx, base_tx,
+                                    cfg))
+    rngd = np.random.RandomState(0)
+    images = rngd.randn(16, 28, 28, 1).astype(np.float32)
+    labels = rngd.randint(0, 10, 16).astype(np.int32)
+    step_rng = jax.random.PRNGKey(7)
+
+    # Single-device reference.
+    mesh1 = make_mesh(dp=1, devices=jax.devices()[:1])
+    s1 = replicate(fresh_state(), mesh1)
+    b1 = shard_batch((images, labels), mesh1)
+    s1, m1 = step(s1, b1, 0.3, 1e-5, step_rng)
+
+    # 8-way data parallel.
+    s8 = replicate(fresh_state(), mesh8)
+    b8 = shard_batch((images, labels), mesh8)
+    s8, m8 = step(s8, b8, 0.3, 1e-5, step_rng)
+
+    p1 = jax.device_get(s1["atq_params"])
+    p8 = jax.device_get(s8["atq_params"])
+    for key_path, l1 in jax.tree_util.tree_leaves_with_path(p1):
+        l8 = p8
+        for p in key_path:
+            l8 = l8[p.key]
+        # Cross-device reduction order perturbs conv gradients at the
+        # float32 level; bound the drift tightly in absolute terms.
+        np.testing.assert_allclose(
+            np.asarray(l1), np.asarray(l8), rtol=1e-3, atol=1e-4,
+            err_msg=jax.tree_util.keystr(key_path),
+        )
+    np.testing.assert_allclose(float(jax.device_get(m1["loss"])),
+                               float(jax.device_get(m8["loss"])),
+                               rtol=1e-5)
+    assert int(jax.device_get(m8["count"])) == 16
