@@ -324,9 +324,16 @@ def packed_ternary_matmul(x, w_packed, w_shape, alpha=1.0,
 
     if layout == "flat":
         if k % 4 != 0:
-            raise ValueError(
-                "flat packed layout requires K % 4 == 0; use pack_planar"
+            # Reference flat format (bit_packing.py:47-69) packs the
+            # flattened N*K stream, so rows don't align to byte boundaries
+            # when K % 4 != 0. Decode the stream densely and matmul —
+            # matches the reference's unpack-then-matmul semantics.
+            shifts = jnp.asarray([0, 2, 4, 6], dtype=jnp.uint8)
+            vals = (w_packed.reshape(-1)[:, None] >> shifts) & jnp.uint8(0x3)
+            w = (vals.reshape(-1)[: n * k].astype(x.dtype) - 1.0).reshape(
+                n, k
             )
+            return (jnp.matmul(x, w.T) * alpha).astype(x.dtype)
         w_packed = w_packed.reshape(n, k // 4)
         layout = "rows"
 

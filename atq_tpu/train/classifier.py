@@ -147,11 +147,13 @@ def build_train_step(atq_model, base_model, atq_tx, base_tx,
                    l1_weight, rng):
         images, labels = batch
         drop_rng = jax.random.fold_in(rng, state["step"])
-        if cfg.device_augment:
+        if cfg.device_augment and images.dtype == jnp.uint8:
+            # Only raw uint8 loader output gets the device-side normalize +
+            # augment; caller-supplied float batches are already normalized
+            # (re-normalizing them would silently corrupt training).
             from atq_tpu.data.augment import classifier_augment
             from atq_tpu.data.mnist import FASHION_STATS, MNIST_STATS
 
-            # uint8 batch straight off the host; normalize + augment here.
             mean, std = (FASHION_STATS if cfg.dataset == "fashion_mnist"
                          else MNIST_STATS)
             images = (images.astype(jnp.float32) / 255.0 - mean) / std

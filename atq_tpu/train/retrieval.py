@@ -300,8 +300,18 @@ def build_baseline_train_step(baseline_model, baseline_tx, criterion):
     contrastive update, returning the post-update eval-mode embeddings for
     distillation."""
 
-    def step(bstate, batch, temperature):
+    def step(bstate, batch, temperature, rng):
         images, captions, lengths = batch
+        if images.dtype == jnp.uint8:
+            # Same device-side preprocessing the ATQ step applies — the
+            # reference baseline consumes the identical (normalized,
+            # flipped) train loader output (train_multimodal.py:468-480).
+            from atq_tpu.data.augment import random_hflip
+            from atq_tpu.data.flickr8k import IMAGENET_MEAN, IMAGENET_STD
+
+            images = (images.astype(jnp.float32) / 255.0
+                      - IMAGENET_MEAN) / IMAGENET_STD
+            images = random_hflip(images, rng)
 
         def loss_fn(p):
             (img, txt), mutated = baseline_model.apply(
@@ -502,7 +512,8 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
             if verbose:
                 print("No checkpoint to resume from; starting fresh")
 
-    metrics_log = open(os.path.join(cfg.output_dir, "metrics.jsonl"), "a")
+    # Re-opened per epoch write: no handle to leak if training dies mid-epoch.
+    metrics_path = os.path.join(cfg.output_dir, "metrics.jsonl")
 
     if cfg.profile_dir:
         jax.profiler.start_trace(cfg.profile_dir)
@@ -531,7 +542,8 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
             baseline_embeds = None
             if baseline_step is not None:
                 baseline_state, _bloss, embeds = baseline_step(
-                    baseline_state, batch[:3], jnp.float32(temperature)
+                    baseline_state, batch[:3], jnp.float32(temperature),
+                    jax.random.fold_in(step_rng, n_batches),
                 )
                 if cfg.distill:
                     baseline_embeds = embeds
@@ -584,12 +596,12 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
                     os.path.join(cfg.output_dir, "best_ema_model.npz"),
                 )
 
-        metrics_log.write(json.dumps({
-            "epoch": epoch + 1, "train_loss": float(train_loss),
-            "pairs_per_sec": float(pairs_per_sec),
-            **{k: float(v) for k, v in val_metrics.items()},
-        }) + "\n")
-        metrics_log.flush()
+        with open(metrics_path, "a") as metrics_log:
+            metrics_log.write(json.dumps({
+                "epoch": epoch + 1, "train_loss": float(train_loss),
+                "pairs_per_sec": float(pairs_per_sec),
+                **{k: float(v) for k, v in val_metrics.items()},
+            }) + "\n")
 
         if cfg.profile_dir and epoch == start_epoch:
             jax.profiler.stop_trace()
@@ -611,7 +623,6 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
             if verbose:
                 print(f"  Saved checkpoint to {ckpt_path}")
 
-    metrics_log.close()
     _save_checkpoint(
         jax.device_get({"params": state["params"], "quant": state["quant"],
                         "constants": state.get("constants", {}),

@@ -24,11 +24,12 @@ def enable_compilation_cache(cache_dir: str | None = None):
     from a persistent cache risks SIGILL, so the CPU backend skips it."""
     import jax
 
-    platforms = (os.environ.get("JAX_PLATFORMS", "")
-                 or str(jax.config.jax_platforms or ""))
-    if "cpu" in platforms:
-        return
+    # Gate on the *resolved* backend, not the requested platform string —
+    # on a CPU-only host with JAX_PLATFORMS unset the string check would
+    # wrongly enable the cache the docstring warns about.
     try:
+        if jax.default_backend() != "tpu":
+            return
         jax.config.update("jax_compilation_cache_dir",
                           cache_dir or DEFAULT_CACHE_DIR)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

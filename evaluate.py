@@ -9,6 +9,7 @@ mnist/fashion_mnist, Recall@K for flickr8k retrieval.
 
 import argparse
 import json
+import os
 
 from atq_tpu.utils.platform import apply_platform_env
 
@@ -35,6 +36,12 @@ def build_parser():
     parser.add_argument("--wider-layers", dest="wider_layers",
                         action="store_true")
     parser.add_argument("--data_dir", type=str, default=None)
+    parser.add_argument("--vocab_file", type=str, default=None,
+                        help="vocab.json forcing identical token ids "
+                        "(retrieval). Defaults to the vocab.json next to "
+                        "the checkpoint when present — train_retrieval "
+                        "writes one precisely so later evaluation cannot "
+                        "drift under different tokenization.")
     parser.add_argument("--output", type=str, default=None,
                         help="Optional JSON file for the metrics")
     return parser
@@ -83,10 +90,16 @@ def main(argv=None):
         from atq_tpu.train.retrieval import build_embed_fn, evaluate_model
 
         data_dir = args.data_dir or "./data/flickr8k"
+        vocab_file = args.vocab_file
+        if vocab_file is None:
+            candidate = os.path.join(os.path.dirname(args.checkpoint),
+                                     "vocab.json")
+            vocab_file = candidate if os.path.exists(candidate) else None
         _, val_loader, test_loader, vocab_size, _ = (
             prepare_flickr8k_dataloaders(
                 batch_size=args.batch_size, image_size=args.image_size,
                 max_length=args.max_seq_length, root_dir=data_dir,
+                vocab_file=vocab_file,
             )
         )
         loader = val_loader if args.split == "val" else test_loader
