@@ -34,6 +34,90 @@ import jax
 import jax.numpy as jnp
 
 
+# Below this size the plain sort is cheap enough; above it the bit-bisection
+# order statistic wins (31 fused bandwidth-bound passes vs an O(n log n)
+# sort, which costs milliseconds at multi-million-element widths on TPU).
+_SELECT_MIN_SIZE = 16384
+
+
+def _order_statistic_f32(flat_nonneg: jax.Array, rank: jax.Array):
+    """Exact ``sorted(flat)[rank]`` for non-negative float32 without sorting.
+
+    Non-negative IEEE-754 floats order identically to their bit patterns, so
+    a 31-step binary search over the uint32 bit space for the smallest value
+    ``u`` with ``count(flat <= u) >= rank+1`` recovers the order statistic
+    bit-exactly. Each step is one fused compare+sum pass over the array —
+    O(n) bandwidth-bound work per step versus the sort's O(n log n) with
+    TPU-hostile data movement.
+    """
+    bits = jax.lax.bitcast_convert_type(flat_nonneg, jnp.uint32)
+    target = (rank + 1).astype(jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // jnp.uint32(2)
+        ge = jnp.sum((bits <= mid).astype(jnp.int32)) >= target
+        return jnp.where(ge, lo, mid + jnp.uint32(1)), jnp.where(ge, mid, hi)
+
+    lo = jnp.uint32(0)
+    hi = jnp.uint32(0x7F800000)  # +inf: above every finite |w|
+    lo, hi = jax.lax.fori_loop(0, 31, body, (lo, hi))
+    return jax.lax.bitcast_convert_type(hi, jnp.float32)
+
+
+def ternary_threshold(
+    weights: jax.Array,
+    threshold_factor: float = 0.05,
+    sparsity_target=0.3,
+) -> jax.Array:
+    """The quantizer's sparsity-targeted threshold as a scalar.
+
+    This is the data-dependent half of the quantizer (the |w| sort ->
+    ``sorted[int(sparsity*n)]`` rule, quantizers.py:24-38) factored out so
+    fused kernels can compute the threshold once per step outside the matmul
+    and apply the elementwise ternarization in-kernel. Large float32 tensors
+    use an exact bit-bisection order statistic instead of a full sort
+    (bit-identical result; see :func:`_order_statistic_f32`).
+    """
+    dtype = weights.dtype
+    abs_w = jnp.abs(weights)
+    flat = abs_w.reshape(-1)
+    n = flat.size  # static under jit
+
+    st = jnp.asarray(sparsity_target, dtype=jnp.float32)
+    # Reference uses python int() which truncates toward zero; sparsity >= 0
+    # so floor is equivalent.
+    idx = jnp.floor(st * jnp.float32(n)).astype(jnp.int32)
+    rank = jnp.clip(idx, 0, n - 1)
+
+    mean_w = None
+    if dtype == jnp.float32 and n >= _SELECT_MIN_SIZE:
+        from atq_tpu.ops.order_stat import (
+            order_stat_eligible,
+            order_statistic_reductions,
+        )
+
+        if order_stat_eligible(n):
+            # One kernel launch for all three data-dependent reductions.
+            thr_at_idx, max_w, sum_w = order_statistic_reductions(flat, rank)
+            mean_w = sum_w / jnp.float32(n)
+        else:
+            thr_at_idx = _order_statistic_f32(flat, rank)
+            max_w = jnp.max(flat)
+    else:
+        sorted_w = jnp.sort(flat)
+        thr_at_idx = sorted_w[rank]
+        max_w = sorted_w[n - 1]
+
+    if mean_w is None:
+        mean_w = jnp.mean(abs_w)
+    thr_all_zero = max_w + jnp.asarray(1.0, dtype)
+    thr_fallback = jnp.asarray(threshold_factor, dtype) * mean_w
+    return jnp.where(
+        idx >= n, thr_all_zero, jnp.where(idx > 0, thr_at_idx, thr_fallback)
+    )
+
+
 def adaptive_ternary_quantization(
     weights: jax.Array,
     alpha: jax.Array | None = None,
@@ -58,22 +142,7 @@ def adaptive_ternary_quantization(
     """
     dtype = weights.dtype
     abs_w = jnp.abs(weights)
-    flat = abs_w.reshape(-1)
-    n = flat.size  # static under jit
-
-    sorted_w = jnp.sort(flat)
-
-    st = jnp.asarray(sparsity_target, dtype=jnp.float32)
-    # Reference uses python int() which truncates toward zero; sparsity >= 0
-    # so floor is equivalent.
-    idx = jnp.floor(st * jnp.float32(n)).astype(jnp.int32)
-
-    thr_at_idx = sorted_w[jnp.clip(idx, 0, n - 1)]
-    thr_all_zero = sorted_w[n - 1] + jnp.asarray(1.0, dtype)
-    thr_fallback = jnp.asarray(threshold_factor, dtype) * jnp.mean(abs_w)
-    threshold = jnp.where(
-        idx >= n, thr_all_zero, jnp.where(idx > 0, thr_at_idx, thr_fallback)
-    )
+    threshold = ternary_threshold(weights, threshold_factor, sparsity_target)
 
     one = jnp.asarray(1.0, dtype)
     zero = jnp.asarray(0.0, dtype)

@@ -36,10 +36,35 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from atq_tpu.core.quantize import adaptive_ternary_quantization, ternarize_ste
+from atq_tpu.core.quantize import (
+    adaptive_ternary_quantization,
+    ternarize_ste,
+    ternary_threshold,
+)
 from atq_tpu.nn.initializers import bias_uniform_torch, kaiming_uniform_torch
 
 DEFAULT_SPARSITY = 0.3
+
+
+def _use_fused(fused: Optional[bool], dtype) -> bool:
+    """Resolve the layer's fused-matmul flag (ops/fused_linear.py).
+
+    Auto default is OFF: measured on TPU (v5e-class, 2026-08), the dense
+    XLA path (quantize -> blend -> matmul, with the threshold computed by
+    the one-launch Pallas order-statistic kernel both paths share) beats
+    the fused Pallas matmuls at every tested shape — XLA's GEMM emitter
+    out-pipelines the hand-written revisited-accumulator kernels
+    (fused/dense step: 0.96x at reference shapes, 0.81x at 8x width; see
+    benchmarks/BENCHMARKS.md). The fused path remains available per-layer
+    (``fused=True``) or globally (``ATQ_FUSED=1``) and computes identical
+    outputs and gradients (tests/test_fused_linear.py,
+    benchmarks/tpu_selftest.py).
+    """
+    if fused is not None:
+        return fused
+    import os
+
+    return os.environ.get("ATQ_FUSED", "0") == "1" and dtype is None
 
 
 def apply_selective_routing(x, threshold: float = 0.05,
@@ -110,6 +135,7 @@ class TernaryLinear(nn.Module):
     features: int
     use_bias: bool = True
     grad_mode: str = "parity"  # 'parity' | 'ste'
+    fused: Optional[bool] = None  # None = auto (fused when dtype is None)
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -123,13 +149,20 @@ class TernaryLinear(nn.Module):
         alpha = self.param("alpha", nn.initializers.ones, (1,),
                            self.param_dtype)
 
-        w_ternary, a = _quantize(weight, alpha, DEFAULT_SPARSITY,
-                                 self.grad_mode)
-        w_eff = w_ternary * a
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
-            w_eff = w_eff.astype(self.dtype)
-        y = jnp.matmul(x, w_eff.T)
+        if _use_fused(self.fused, self.dtype):
+            from atq_tpu.ops.fused_linear import fused_quantized_linear
+
+            thr = ternary_threshold(weight, sparsity_target=DEFAULT_SPARSITY)
+            y = fused_quantized_linear(x, weight, alpha, thr,
+                                       grad_mode=self.grad_mode)
+        else:
+            w_ternary, a = _quantize(weight, alpha, DEFAULT_SPARSITY,
+                                     self.grad_mode)
+            w_eff = w_ternary * a
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                w_eff = w_eff.astype(self.dtype)
+            y = jnp.matmul(x, w_eff.T)
         if self.use_bias:
             bias = self.param("bias", bias_uniform_torch(in_features),
                               (self.features,), self.param_dtype)
@@ -167,6 +200,7 @@ class ResidualPrecisionBoostLinear(nn.Module):
     use_bias: bool = True
     sparsity_target: float = DEFAULT_SPARSITY
     grad_mode: str = "parity"
+    fused: Optional[bool] = None  # None = auto (fused when dtype is None)
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -189,14 +223,22 @@ class ResidualPrecisionBoostLinear(nn.Module):
         )
 
         mask = mask_var.value
-        w_ternary, a = _quantize(weight, alpha, sparsity_var.value,
-                                 self.grad_mode)
-        w_mixed = w_ternary * a * (1.0 - mask) + weight * mask
+        if _use_fused(self.fused, self.dtype):
+            from atq_tpu.ops.fused_linear import fused_quantized_linear
 
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
-            w_mixed = w_mixed.astype(self.dtype)
-        y = jnp.matmul(x, w_mixed.T)
+            thr = ternary_threshold(
+                weight, sparsity_target=sparsity_var.value)
+            y = fused_quantized_linear(x, weight, alpha, thr, mask=mask,
+                                       grad_mode=self.grad_mode)
+        else:
+            w_ternary, a = _quantize(weight, alpha, sparsity_var.value,
+                                     self.grad_mode)
+            w_mixed = w_ternary * a * (1.0 - mask) + weight * mask
+
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                w_mixed = w_mixed.astype(self.dtype)
+            y = jnp.matmul(x, w_mixed.T)
         if self.use_bias:
             bias = self.param("bias", bias_uniform_torch(in_features),
                               (self.features,), self.param_dtype)

@@ -1,0 +1,105 @@
+"""Pallas TPU kernel: exact order statistic of |w| in one launch.
+
+The quantizer threshold (reference quantizers.py:24-38:
+``sorted(|w|)[int(sparsity*n)]``) is the dominant per-step latency on TPU:
+a full `jnp.sort` costs milliseconds at multi-million-element widths, and
+even the XLA bit-bisection replacement (core/quantize.py:_order_statistic_f32)
+pays ~31 sequential device-op latencies (~10us each over the runtime) because
+every compare+count round trips through HBM-level kernel dispatch.
+
+This kernel keeps the uint32 bit patterns of |w| resident in VMEM and runs
+the entire 31-step bisection inside ONE kernel launch — each step is a
+VPU compare+reduce over on-chip memory. It also folds in the two auxiliary
+reductions `max|w|` and `sum|w|` that the threshold's edge cases need
+(quantizers.py:33-38), so the whole data-dependent half of the quantizer is
+a single dispatch.
+
+Non-negative IEEE-754 floats order identically to their uint32 bit patterns,
+which makes the bisection exact (bit-identical to the sort).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+# VMEM budget for the resident bit matrix (bytes). Above this the caller
+# falls back to the XLA bisection.
+_VMEM_BITS_BUDGET = 12 * 1024 * 1024
+# Bit pattern strictly above +inf: padding sentinel that never counts as
+# <= any finite search midpoint.
+_PAD_BITS = 0x7F800001
+
+
+def _kernel(bits_ref, rank_ref, stat_ref, agg_ref):
+    target = rank_ref[0] + 1
+    bits = bits_ref[:]
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // jnp.uint32(2)
+        ge = jnp.sum((bits <= mid).astype(jnp.int32)) >= target
+        return (jnp.where(ge, lo, mid + jnp.uint32(1)),
+                jnp.where(ge, mid, hi))
+
+    lo = jnp.uint32(0)
+    hi = jnp.uint32(0x7F800000)  # +inf bits: above every finite |w|
+    lo, hi = jax.lax.fori_loop(0, 31, body, (lo, hi))
+    # Mosaic can't bitcast scalars; hi <= 0x7F800000 < 2^31 so the integer
+    # conversion preserves the bit pattern (bitcast happens outside).
+    stat_ref[0] = hi.astype(jnp.int32)
+
+    # Padding sentinels sit above +inf; mask them out of max and sum.
+    finite = bits <= jnp.uint32(0x7F800000)
+    vals = jnp.where(finite, jax.lax.bitcast_convert_type(bits, jnp.float32),
+                     0.0)
+    agg_ref[0] = jnp.max(vals)
+    agg_ref[1] = jnp.sum(vals)
+
+
+@jax.jit
+def _pallas_select(bits2d, rank):
+    from jax.experimental.pallas import tpu as pltpu
+
+    stat_bits, agg = pl.pallas_call(
+        _kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((2,), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+    )(bits2d, rank.reshape(1).astype(jnp.int32))
+    stat = jax.lax.bitcast_convert_type(stat_bits[0], jnp.float32)
+    return stat, agg[0], agg[1]
+
+
+def order_stat_eligible(n: int) -> bool:
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover
+        return False
+    return on_tpu and n * 4 <= _VMEM_BITS_BUDGET
+
+
+def order_statistic_reductions(abs_flat: jax.Array, rank: jax.Array):
+    """``(sorted(abs_flat)[rank], max(abs_flat), sum(abs_flat))`` in one
+    kernel launch. ``abs_flat`` must be non-negative float32."""
+    n = abs_flat.size
+    bits = jax.lax.bitcast_convert_type(abs_flat, jnp.uint32)
+    cols = 128
+    rows = -(-n // cols)
+    pad = rows * cols - n
+    if pad:
+        bits = jnp.concatenate(
+            [bits, jnp.full((pad,), _PAD_BITS, jnp.uint32)])
+    return _pallas_select(bits.reshape(rows, cols), rank)

@@ -139,3 +139,39 @@ def test_distribution_helper():
     assert float(d["zero"]) == 0.5
     assert float(d["neg"]) == 0.25
     assert float(d["pos"]) == 0.25
+
+
+class TestOrderStatisticSelect:
+    """The bit-bisection order statistic must be BIT-IDENTICAL to the sort
+    (it replaces the sort for large f32 tensors inside ternary_threshold)."""
+
+    def test_matches_sort_exactly(self):
+        import numpy as np
+        from atq_tpu.core.quantize import _order_statistic_f32
+
+        rng = np.random.RandomState(0)
+        cases = [
+            np.abs(rng.randn(20000)).astype(np.float32),
+            np.zeros(17000, np.float32),
+            np.full(17000, 0.25, np.float32),
+            np.abs(rng.randn(16384)).astype(np.float32) * 1e-30,  # subnormals
+            np.repeat(np.abs(rng.randn(200)).astype(np.float32), 100),
+        ]
+        for arr in cases:
+            s = np.sort(arr)
+            for rank in [0, 1, len(arr) // 3, len(arr) // 2, len(arr) - 1]:
+                got = np.asarray(_order_statistic_f32(
+                    jnp.asarray(arr), jnp.int32(rank)))
+                assert got.view(np.uint32) == s[rank].view(np.uint32), (
+                    f"rank {rank}: got {got!r} want {s[rank]!r}")
+
+    def test_threshold_large_equals_sort_path(self):
+        import numpy as np
+        from atq_tpu.core.quantize import ternary_threshold
+
+        rng = np.random.RandomState(1)
+        w = rng.randn(40000).astype(np.float32)
+        got = np.asarray(ternary_threshold(jnp.asarray(w),
+                                           sparsity_target=0.3))
+        want = np.sort(np.abs(w))[int(0.3 * w.size)]
+        assert got == want
