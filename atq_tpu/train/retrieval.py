@@ -371,7 +371,17 @@ def evaluate_model(embed_fn, state, loader, topk=(1, 5, 10),
     all_img = np.concatenate(all_img, axis=0)
     all_txt = np.concatenate(all_txt, axis=0)
     similarity = all_img @ all_txt.T
-    return compute_retrieval_metrics(similarity, topk=list(topk))
+    metrics = compute_retrieval_metrics(similarity, topk=list(topk))
+    # Extra diagnostics: the parity protocol's duplicated image gallery
+    # forces text_to_image_R@1 to 0 (see train/retrieval_metrics.py);
+    # the *_dedup numbers are the standard unique-gallery t2i recalls.
+    from atq_tpu.train.retrieval_metrics import (
+        compute_retrieval_metrics_dedup,
+    )
+
+    metrics.update(compute_retrieval_metrics_dedup(all_img, all_txt,
+                                                   topk=list(topk)))
+    return metrics
 
 
 def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):

@@ -130,6 +130,22 @@ def main():
                 check(f"fused_dw[{mode}] {tag}", got_dw, want_dw)
                 check(f"fused_dalpha[{mode}] {tag}", got_da, want_da)
 
+    # ---- sparse-correction serving path ---------------------------------
+    from atq_tpu.nn.layers import ResidualPrecisionBoostLinear
+    from atq_tpu.serve.packed_model import (
+        pack_quantized_layer,
+        packed_linear_apply,
+    )
+
+    xs = jnp.asarray(rng.randn(4, 3136), jnp.float32)
+    layer = ResidualPrecisionBoostLinear(features=128, precision_ratio=0.05,
+                                         sparsity_target=0.3)
+    variables = layer.init(jax.random.PRNGKey(0), xs)
+    want = layer.apply(variables, xs)
+    sparse = pack_quantized_layer(variables["params"], variables["quant"])
+    got = packed_linear_apply(sparse, xs)
+    check("serve_sparse_correction vs RPB forward", got, want, rel=2e-2)
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} FAILED: {FAILURES}")
