@@ -39,6 +39,8 @@ IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 PAD, UNK, START, END = 0, 1, 2, 3
 SPECIALS = {"<PAD>": PAD, "<UNK>": UNK, "<START>": START, "<END>": END}
 
+_DOWNLOAD_ATTEMPTED = False
+
 
 def _nltk_available() -> bool:
     try:
@@ -153,6 +155,8 @@ class Flickr8kDataset:
         self.tokenize_captions = tokenize_captions
         self.train_transform = train_transform
         self.seed = seed
+        if not self._check_exists():
+            self._download_and_extract()
         self.synthetic = not self._check_exists()
 
         if self.synthetic:
@@ -175,6 +179,45 @@ class Flickr8kDataset:
                                             "Flicker8k_Dataset"))
                 and os.path.exists(os.path.join(self.root_dir,
                                                 "Flickr8k.token.txt")))
+
+    # jbrownlee GitHub release archives, as in the reference
+    # (multimodal_data.py:110-111).
+    DOWNLOAD_URLS = (
+        "https://github.com/jbrownlee/Datasets/releases/download/"
+        "Flickr8k/Flickr8k_Dataset.zip",
+        "https://github.com/jbrownlee/Datasets/releases/download/"
+        "Flickr8k/Flickr8k_text.zip",
+    )
+
+    def _download_and_extract(self):
+        """Attempt the reference's dataset download
+        (multimodal_data.py:100-134); unlike the reference (which raises),
+        failure falls through to the synthetic corpus so offline
+        environments stay runnable. Disable with ATQ_NO_DOWNLOAD=1."""
+        if os.environ.get("ATQ_NO_DOWNLOAD", "0") == "1":
+            return
+        global _DOWNLOAD_ATTEMPTED
+        if _DOWNLOAD_ATTEMPTED:  # one attempt per process, not per split
+            return
+        _DOWNLOAD_ATTEMPTED = True
+        import io
+        import urllib.request
+        import zipfile
+
+        try:
+            os.makedirs(self.root_dir, exist_ok=True)
+            for url in self.DOWNLOAD_URLS:
+                print(f"Downloading {url} ...")
+                with urllib.request.urlopen(url, timeout=30) as resp:
+                    payload = resp.read()
+                with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+                    zf.extractall(self.root_dir)
+            print("Dataset downloaded and extracted successfully.")
+        except Exception as e:  # zero-egress / transient network failures
+            print(f"Error downloading dataset: {e}")
+            print("Falling back to the synthetic corpus; to use real data, "
+                  "extract Flickr8k_Dataset.zip and Flickr8k_text.zip into "
+                  f"{self.root_dir}")
 
     def _load_real(self):
         captions: Dict[str, List[str]] = {}

@@ -166,3 +166,52 @@ def load_torch_state_dict(state_dict: dict, arch: str = "resnet18"):
                 bn(fpfx + ("downsample_bn",), f"{prefix}.downsample.1")
 
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# Pretrained-weights readiness (zero-egress environment)
+# ---------------------------------------------------------------------------
+
+# torchvision IMAGENET1K_V1 release artifacts. torchvision's own
+# load_state_dict_from_url verifies the sha256 PREFIX embedded in the file
+# name; we record the same contract so a manually-supplied .pth can be
+# checked offline. Reference dependency: the retrieval ImageEncoder is a
+# *pretrained* backbone (multimodal_classifier.py:28-39).
+IMAGENET_MANIFEST = {
+    "resnet18": {
+        "url": "https://download.pytorch.org/models/resnet18-f37072fd.pth",
+        "sha256_prefix": "f37072fd",
+    },
+    "resnet50": {
+        "url": "https://download.pytorch.org/models/resnet50-0676ba61.pth",
+        "sha256_prefix": "0676ba61",
+    },
+}
+
+
+def load_imagenet_weights(path: str, arch: str = "resnet18",
+                          verify_hash: bool = True):
+    """Load a torchvision IMAGENET1K_V1 ``.pth`` from disk into flax
+    ``(params, batch_stats)`` trees for :class:`ResNetFeatures`.
+
+    The moment a weights file appears (manual copy onto the zero-egress
+    box), ``train_multimodal.py --imagenet_weights PATH`` gives the
+    reference-parity pretrained backbone. ``verify_hash`` checks the file's
+    sha256 against the manifest prefix (torchvision's own integrity
+    contract).
+    """
+    import hashlib
+
+    if verify_hash:
+        digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+        want = IMAGENET_MANIFEST[arch]["sha256_prefix"]
+        if not digest.startswith(want):
+            raise ValueError(
+                f"{path}: sha256 {digest[:16]}... does not start with the "
+                f"manifest prefix {want!r} for {arch} IMAGENET1K_V1 "
+                f"({IMAGENET_MANIFEST[arch]['url']})"
+            )
+    import torch
+
+    state_dict = torch.load(path, map_location="cpu", weights_only=True)
+    return load_torch_state_dict(state_dict, arch=arch)

@@ -99,6 +99,8 @@ class RetrievalConfig:
     resume: bool = False            # resume from the latest Orbax state
     profile_dir: Optional[str] = None  # jax.profiler trace output
     vocab_file: Optional[str] = None   # recorded-vocab escape hatch
+    imagenet_weights: Optional[str] = None  # torchvision .pth for the
+    # pretrained ResNet backbone (reference multimodal_classifier.py:28-39)
     device_preprocess: bool = True  # uint8 transfer; normalize/flip on-device
     use_multi_positive: bool = False  # MultiPositiveInfoNCE over the 5
     # captions/image (the reference defines the loss but never wires it)
@@ -421,6 +423,29 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
     sample_len = jnp.asarray([5, 5], jnp.int32)
     variables = model.init(rng, sample_img, sample_txt, sample_len)
     params = variables["params"]
+    if cfg.imagenet_weights:
+        # Pretrained torchvision backbone (reference
+        # multimodal_classifier.py:28-39). Grafted BEFORE reinit to mirror
+        # the reference's order — its --reinit_model walks named_parameters
+        # and xavier-clobbers the pretrained backbone too
+        # (train_multimodal.py:293-312), a quirk we preserve.
+        from atq_tpu.models.resnet import load_imagenet_weights
+
+        bb_params, bb_stats = load_imagenet_weights(
+            cfg.imagenet_weights, arch="resnet18")
+        params = dict(params)
+        params["image_encoder"] = dict(params["image_encoder"])
+        params["image_encoder"]["base_model"] = bb_params
+        bs = dict(variables.get("batch_stats", {}))
+        bs["image_encoder"] = dict(bs.get("image_encoder", {}))
+        bs["image_encoder"]["base_model"] = bb_stats
+        variables = dict(variables)
+        variables["batch_stats"] = bs
+        if verbose:
+            print(f"Loaded IMAGENET1K backbone from {cfg.imagenet_weights}")
+        if cfg.reinit_model and verbose:
+            print("WARNING: --reinit_model re-initializes the pretrained "
+                  "backbone too (reference parity quirk)")
     if cfg.reinit_model:
         if verbose:
             print("Reinitializing model weights...")

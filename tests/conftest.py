@@ -7,6 +7,8 @@ at conftest import time (pytest imports conftest before test modules).
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Zero-egress box: never stall tests on dataset download attempts.
+os.environ["ATQ_NO_DOWNLOAD"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -109,6 +109,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--use_multi_positive", action="store_true",
                         help="Train with MultiPositiveInfoNCE over the 5"
                              " captions per image (framework extension)")
+    parser.add_argument("--imagenet_weights", type=str, default=None,
+                        help="Path to a torchvision IMAGENET1K_V1 resnet18"
+                             " .pth; grafts the pretrained backbone the"
+                             " reference depends on (see"
+                             " atq_tpu/models/resnet.py:IMAGENET_MANIFEST)")
     return parser
 
 
