@@ -8,6 +8,12 @@ from atq_tpu.parallel.collectives import (
     all_gather_embeddings,
     psum_grads,
 )
+from atq_tpu.parallel.pipeline import (
+    pipeline_apply,
+    split_microbatches,
+    merge_microbatches,
+    stack_stage_params,
+)
 
 __all__ = [
     "make_mesh",
@@ -16,4 +22,8 @@ __all__ = [
     "data_sharding",
     "all_gather_embeddings",
     "psum_grads",
+    "pipeline_apply",
+    "split_microbatches",
+    "merge_microbatches",
+    "stack_stage_params",
 ]

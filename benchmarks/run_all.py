@@ -40,6 +40,32 @@ def _steady_state(step_fn, state, args, warmup=3, iters=20):
     return (time.time() - t0) / iters
 
 
+def _add_mfu(result, jitted, dt, *concrete_args):
+    """Attach XLA's own FLOP count and the MFU line (VERDICT: achieved vs
+    peak) to a config's result dict. ``dt`` is seconds/step at steady state.
+    """
+    import jax
+
+    from atq_tpu.utils.flops import compiled_flops, mfu, peak_flops_per_chip
+
+    # The timing loop donated the original state buffers; lower against
+    # abstract shapes so cost analysis never touches deleted arrays.
+    abstract_args = jax.tree_util.tree_map(
+        lambda a: (jax.ShapeDtypeStruct(a.shape, a.dtype)
+                   if hasattr(a, "shape") and hasattr(a, "dtype") else a),
+        concrete_args,
+    )
+    flops = compiled_flops(jitted, *abstract_args)
+    if flops is None:
+        return result
+    result["model_flops_per_step"] = flops
+    peak = peak_flops_per_chip()
+    if peak is not None:
+        result["peak_flops_per_chip"] = peak
+        result["mfu_pct"] = round(100.0 * mfu(flops, dt), 3)
+    return result
+
+
 def bench_classifier(use_rpb: bool, distill: bool, batch=256):
     import jax
     import jax.numpy as jnp
@@ -88,7 +114,9 @@ def bench_classifier(use_rpb: bool, distill: bool, batch=256):
         return step(state, batch_data, 0.3, 1e-5, jax.random.PRNGKey(1))
 
     dt = _steady_state(step_fn, state, ())
-    return {"ms_per_step": dt * 1000, "imgs_per_sec": batch / dt}
+    return _add_mfu({"ms_per_step": dt * 1000, "imgs_per_sec": batch / dt},
+                    step, dt, state, batch_data, 0.3, 1e-5,
+                    jax.random.PRNGKey(1))
 
 
 def bench_mixed_precision(batch=64, seq=128, dim=256):
@@ -126,8 +154,8 @@ def bench_mixed_precision(batch=64, seq=128, dim=256):
         return step(state)
 
     dt = _steady_state(step_fn, state, ())
-    return {"ms_per_step": dt * 1000,
-            "tokens_per_sec": batch * seq / dt}
+    return _add_mfu({"ms_per_step": dt * 1000,
+                     "tokens_per_sec": batch * seq / dt}, step, dt, state)
 
 
 def bench_packed_inference(batch=64):
@@ -163,13 +191,14 @@ def bench_packed_inference(batch=64):
     dense_ms = (time.time() - t0) / 50 * 1000
 
     fp = served.memory_footprint_bytes()
-    return {
+    result = {
         "packed_ms_per_batch": packed_ms,
         "dense_ms_per_batch": dense_ms,
         "classifier_weight_compression":
             fp["dense_fp32_bytes"] / fp["packed_bytes"],
         "pure_ternary_compression": 16.0,
     }
+    return _add_mfu(result, served._apply, packed_ms / 1000, x)
 
 
 def bench_retrieval(batch=64, image_size=160):
@@ -222,7 +251,9 @@ def bench_retrieval(batch=64, image_size=160):
                     jax.random.PRNGKey(1))
 
     dt = _steady_state(step_fn, state, (), warmup=3, iters=10)
-    return {"ms_per_step": dt * 1000, "pairs_per_sec": batch / dt}
+    return _add_mfu({"ms_per_step": dt * 1000, "pairs_per_sec": batch / dt},
+                    step, dt, state, batch_data, jnp.float32(0.07),
+                    jnp.int32(0), jax.random.PRNGKey(1))
 
 
 def main():

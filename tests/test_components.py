@@ -192,6 +192,22 @@ def test_amp_train_step_runs():
     assert state["params"]["temperature"].dtype == jnp.float32
 
 
+def test_device_rotation_matches_host_rotation():
+    """The on-device bilinear rotate must equal the host-side numpy analog
+    (atq_tpu.data.mnist._rotate_batch) that mirrors torchvision
+    RandomRotation semantics — same angles, same pixels."""
+    from atq_tpu.data.augment import _rotate_bilinear
+    from atq_tpu.data.mnist import _rotate_batch
+
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(6, 28, 28).astype(np.float32)
+    angles = np.array([-5, -2.5, 0, 1, 3, 5], np.float32)
+    host = _rotate_batch(imgs, angles)
+    dev = _rotate_bilinear(jnp.asarray(imgs[..., None]),
+                           jnp.deg2rad(jnp.asarray(angles)))[..., 0]
+    np.testing.assert_allclose(host, np.asarray(dev), atol=1e-5)
+
+
 def test_device_augmentation():
     from atq_tpu.data.augment import classifier_augment, random_rotate
 
