@@ -90,7 +90,9 @@ class RetrievalConfig:
     train_baseline: bool = False
     distill: bool = False
     distill_weight: float = 0.3
-    grad_checkpointing: bool = False  # parsed, unused — reference parity
+    grad_checkpointing: bool = False  # reference parses-but-ignores this
+    # (train_multimodal.py:870); here it enables real jax.checkpoint
+    # rematerialization of the encoder forward (documented extension)
     # Framework extensions:
     data_dir: str = "./data/flickr8k"
     grad_mode: str = "parity"
@@ -223,14 +225,30 @@ def build_retrieval_train_step(model, tx, criterion, cl_manager,
                     lambda x: x.astype(jnp.bfloat16)
                     if x.dtype == jnp.float32 else x, p)
                 apply_images = images.astype(jnp.bfloat16)
-            (img_emb, txt_emb), mutated = model.apply(
-                {"params": p, "quant": state["quant"],
-                 "constants": state.get("constants", {}),
-                 "batch_stats": state["batch_stats"]},
-                apply_images, captions, lengths, return_embeddings=True,
-                train=True, rngs={"dropout": drop_rng},
-                mutable=["batch_stats"],
-            )
+            def _forward(p_, imgs_, captions_, lengths_, rng_):
+                return model.apply(
+                    {"params": p_, "quant": state["quant"],
+                     "constants": state.get("constants", {}),
+                     "batch_stats": state["batch_stats"]},
+                    imgs_, captions_, lengths_, return_embeddings=True,
+                    train=True, rngs={"dropout": rng_},
+                    mutable=["batch_stats"],
+                )
+
+            if cfg.grad_checkpointing:
+                # The reference parses --grad_checkpointing but never uses
+                # it (train_multimodal.py:870). Here it is wired to real
+                # rematerialization: jax.checkpoint discards the encoder's
+                # intermediate activations after the forward pass and
+                # recomputes them during the backward pass, trading FLOPs
+                # for HBM — the TPU analog of torch.utils.checkpoint.
+                # Gradients are bitwise-identical to the unremat path
+                # (same ops, same dropout rng) — tested in
+                # tests/test_train_steps.py.
+                _forward = jax.checkpoint(_forward)
+
+            (img_emb, txt_emb), mutated = _forward(
+                p, apply_images, captions, lengths, drop_rng)
             img_emb = img_emb.astype(jnp.float32)
             txt_emb = txt_emb.astype(jnp.float32)
             from atq_tpu.models.fusion import l2_normalize

@@ -192,6 +192,66 @@ def test_amp_train_step_runs():
     assert state["params"]["temperature"].dtype == jnp.float32
 
 
+def test_grad_checkpointing_matches_unremat_step():
+    """--grad_checkpointing (jax.checkpoint rematerialization of the
+    encoder forward) must not change the math: one train step from the
+    same state produces the same loss and the same updated params as the
+    un-rematerialized step. The reference parses this flag but never uses
+    it (train_multimodal.py:870); we wire it to real remat."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from atq_tpu.losses.contrastive import (
+        ContrastiveLearningManager,
+        HardNegativeMiningInfoNCE,
+    )
+    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
+    from atq_tpu.train.retrieval import (
+        RetrievalConfig,
+        build_retrieval_train_step,
+        make_retrieval_optimizer,
+    )
+
+    model = ATQMultimodalRetrieval(vocab_size=40, embed_dim=32,
+                                   hidden_dim=64, use_residual=True,
+                                   max_seq_length=8)
+    rng = jax.random.PRNGKey(0)
+    v = model.init(rng, jnp.zeros((2, 32, 32, 3)),
+                   jnp.zeros((2, 8), jnp.int32), jnp.asarray([4, 4]))
+    rngd = np.random.RandomState(0)
+    batch = (rngd.randn(4, 32, 32, 3).astype(np.float32),
+             rngd.randint(0, 40, (4, 8)).astype(np.int32),
+             np.full(4, 6, np.int32))
+
+    losses, params_out = [], []
+    for remat in (False, True):
+        cfg = RetrievalConfig(batch_size=4, image_size=32, embed_dim=32,
+                              hidden_dim=64, max_seq_length=8,
+                              use_residual=True, grad_checkpointing=remat)
+        tx = make_retrieval_optimizer(cfg, 10)
+        crit = HardNegativeMiningInfoNCE(temperature_schedule=False)
+        mgr = ContrastiveLearningManager(criterion=crit)
+        state = {"params": v["params"], "quant": v.get("quant", {}),
+                 "constants": v.get("constants", {}),
+                 "batch_stats": v.get("batch_stats", {}),
+                 "opt_state": tx.init(v["params"]),
+                 "step": jnp.asarray(0, jnp.int32)}
+        step = jax.jit(build_retrieval_train_step(model, tx, crit, mgr,
+                                                  cfg))
+        state, loss = step(state, batch, jnp.float32(0.07), jnp.int32(0),
+                           jax.random.PRNGKey(1))
+        losses.append(float(loss))
+        params_out.append(state["params"])
+
+    assert np.isfinite(losses[0])
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves(params_out[0])
+    flat1 = jax.tree_util.tree_leaves(params_out[1])
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+
+
 def test_device_rotation_matches_host_rotation():
     """The on-device bilinear rotate must equal the host-side numpy analog
     (atq_tpu.data.mnist._rotate_batch) that mirrors torchvision
