@@ -8,6 +8,12 @@ from atq_tpu.parallel.collectives import (
     all_gather_embeddings,
     psum_grads,
 )
+from atq_tpu.parallel.moe import (
+    init_moe_params,
+    moe_ffn,
+    moe_ffn_sharded,
+    top1_dispatch,
+)
 from atq_tpu.parallel.pipeline import (
     pipeline_apply,
     split_microbatches,
@@ -26,4 +32,8 @@ __all__ = [
     "split_microbatches",
     "merge_microbatches",
     "stack_stage_params",
+    "init_moe_params",
+    "moe_ffn",
+    "moe_ffn_sharded",
+    "top1_dispatch",
 ]

@@ -1,0 +1,131 @@
+"""Expert-parallel MoE FFN (atq_tpu/parallel/moe.py).
+
+Framework capability beyond the reference (SURVEY.md §2.6: EP absent
+there). Checks: EP sharded == single-device per shard, dense-equivalence
+when nothing overflows, capacity drop semantics, ternary experts,
+differentiability, load-balance aux.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from atq_tpu.parallel.moe import (
+    init_moe_params,
+    moe_ffn,
+    moe_ffn_sharded,
+    top1_dispatch,
+)
+
+T, D, H, E = 32, 16, 24, 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_moe_params(jax.random.PRNGKey(0), D, H, E)
+    x = jnp.asarray(np.random.RandomState(1).randn(T, D), jnp.float32)
+    return params, x
+
+
+def test_dispatch_one_slot_per_kept_token(setup):
+    params, x = setup
+    dispatch, combine, aux = top1_dispatch(x, params["gate"], E, capacity=4)
+    # each kept token occupies exactly one (expert, slot); dropped = zero
+    per_token = np.asarray(jnp.sum(dispatch, axis=(1, 2)))
+    assert set(np.unique(per_token)) <= {0.0, 1.0}
+    # no slot is double-booked
+    per_slot = np.asarray(jnp.sum(dispatch, axis=0))
+    assert per_slot.max() <= 1.0
+    # combine carries the gate prob of the chosen expert
+    probs = jax.nn.softmax(x @ params["gate"], axis=-1)
+    gate = np.asarray(jnp.max(probs, axis=-1))
+    got = np.asarray(jnp.sum(combine, axis=(1, 2)))
+    kept = per_token > 0
+    np.testing.assert_allclose(got[kept], gate[kept], rtol=1e-6)
+    assert np.asarray(aux["aux_loss"]) > 0
+
+
+def test_moe_equals_dense_when_capacity_sufficient(setup):
+    """capacity >= T ⇒ no drops ⇒ MoE == per-token expert FFN."""
+    params, x = setup
+    y, _ = moe_ffn(x, params, capacity=T)
+    probs = jax.nn.softmax(x @ params["gate"], axis=-1)
+    eidx = np.asarray(jnp.argmax(probs, axis=-1))
+    gate = np.asarray(jnp.max(probs, axis=-1))
+    w1, w2 = np.asarray(params["w1"]), np.asarray(params["w2"])
+    xs = np.asarray(x)
+    want = np.stack([
+        gate[t] * (np.asarray(jax.nn.gelu(xs[t] @ w1[eidx[t]]))
+                   @ w2[eidx[t]])
+        for t in range(T)
+    ])
+    np.testing.assert_allclose(np.asarray(y), want, atol=1e-5)
+
+
+def test_capacity_overflow_drops_to_zero(setup):
+    """capacity=1: at most one token per expert contributes; later tokens
+    routed to a full expert produce exactly zero output."""
+    params, x = setup
+    y, _ = moe_ffn(x, params, capacity=1)
+    dispatch, _, _ = top1_dispatch(x, params["gate"], E, capacity=1)
+    kept = np.asarray(jnp.sum(dispatch, axis=(1, 2))) > 0
+    assert kept.sum() <= E
+    dropped_rows = np.asarray(y)[~kept]
+    np.testing.assert_array_equal(dropped_rows,
+                                  np.zeros_like(dropped_rows))
+
+
+def test_sharded_matches_single_device_per_shard(setup):
+    """EP over 8 devices == moe_ffn applied shard-by-shard (same capacity
+    accounting), and with ample capacity == the dense-equivalent path."""
+    params, x = setup
+    n = 8
+    mesh = Mesh(np.asarray(jax.devices()[:n]), axis_names=("expert",))
+    cap = T // n  # per-shard capacity covers every local token
+    y_sharded, aux = jax.jit(
+        lambda x, p: moe_ffn_sharded(x, p, mesh, capacity=cap)
+    )(x, params)
+
+    shards = []
+    for i in range(n):
+        xs = x[i * (T // n):(i + 1) * (T // n)]
+        ys, _ = moe_ffn(xs, params, capacity=cap)
+        shards.append(np.asarray(ys))
+    want = np.concatenate(shards)
+    np.testing.assert_allclose(np.asarray(y_sharded), want, atol=1e-5)
+    assert np.isfinite(float(aux["aux_loss"]))
+
+
+def test_sharded_ternary_matches_single_device(setup):
+    params, x = setup
+    n = 4
+    mesh = Mesh(np.asarray(jax.devices()[:n]), axis_names=("expert",))
+    cap = T // n
+    y_sharded, _ = jax.jit(
+        lambda x, p: moe_ffn_sharded(x, p, mesh, capacity=cap,
+                                     ternary=True)
+    )(x, params)
+    shards = []
+    for i in range(n):
+        xs = x[i * (T // n):(i + 1) * (T // n)]
+        ys, _ = moe_ffn(xs, params, capacity=cap, ternary=True)
+        shards.append(np.asarray(ys))
+    np.testing.assert_allclose(np.asarray(y_sharded),
+                               np.concatenate(shards), atol=1e-5)
+
+
+def test_moe_is_differentiable(setup):
+    """Gate and expert planes all receive nonzero gradient through the
+    routing einsums (argmax gives no gradient path through expert CHOICE,
+    but the gate probability multiplies the output)."""
+    params, x = setup
+
+    def loss(p):
+        y, aux = moe_ffn(x, p, capacity=T // 2)
+        return jnp.sum(y ** 2) + 0.01 * aux["aux_loss"]
+
+    grads = jax.grad(loss)(params)
+    for k in ("gate", "w1", "w2"):
+        assert float(jnp.max(jnp.abs(grads[k]))) > 0, k
