@@ -368,10 +368,15 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
         metric_acc = None
         from atq_tpu.data.prefetch import PrefetchLoader
 
+        # Epoch-constant scalars go to the device ONCE per epoch; passing
+        # the Python floats straight into the jitted step would commit a
+        # fresh scalar array (a host->device transfer) on every batch.
+        sparsity_dev = jnp.float32(current_sparsity)
+        l1_dev = jnp.float32(l1_weight)
         for batch in PrefetchLoader(train_loader):
             batch = shard_batch(batch, mesh)
             state, metrics = train_step(
-                state, batch, current_sparsity, l1_weight, step_rng
+                state, batch, sparsity_dev, l1_dev, step_rng
             )
             n_batches += 1
             # Accumulate on-device; a per-batch device_get would force a

@@ -590,19 +590,23 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
         t0 = time.time()
         from atq_tpu.data.prefetch import PrefetchLoader
 
+        # Epoch-constant scalars go to the device ONCE per epoch; creating
+        # them per batch would add host->device transfers to every step.
+        temperature_dev = jnp.float32(temperature)
+        curriculum_dev = jnp.int32(cl_manager.curriculum_kind())
         for batch in PrefetchLoader(train_loader):
             batch = shard_batch(batch, mesh)
             baseline_embeds = None
             if baseline_step is not None:
                 baseline_state, _bloss, embeds = baseline_step(
-                    baseline_state, batch[:3], jnp.float32(temperature),
+                    baseline_state, batch[:3], temperature_dev,
                     jax.random.fold_in(step_rng, n_batches),
                 )
                 if cfg.distill:
                     baseline_embeds = embeds
             state, loss = train_step(state, batch,
-                                     jnp.float32(temperature),
-                                     jnp.int32(cl_manager.curriculum_kind()),
+                                     temperature_dev,
+                                     curriculum_dev,
                                      step_rng, baseline_embeds)
             # Accumulate on-device; per-batch device_get would sync.
             epoch_loss = loss if n_batches == 0 else epoch_loss + loss

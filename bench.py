@@ -81,9 +81,14 @@ def bench_tpu() -> float:
     labels = data_rng.randint(0, 10, BATCH).astype(np.int32)
     batch = shard_batch((images, labels), mesh)
 
+    # Device-resident per-call constants: passing Python floats into the
+    # jitted step commits a fresh scalar array (a host->device transfer)
+    # on every call, which over the axon tunnel dwarfs the sub-ms step.
     step_rng = jax.random.PRNGKey(1)
+    sparsity = jnp.float32(0.3)
+    l1 = jnp.float32(1e-5)
     for _ in range(WARMUP_STEPS):
-        state, metrics = train_step(state, batch, 0.3, 1e-5, step_rng)
+        state, metrics = train_step(state, batch, sparsity, l1, step_rng)
     jax.block_until_ready(state["atq_params"])
 
     # The axon tunnel adds jittery dispatch latency; take the best of
@@ -93,7 +98,7 @@ def bench_tpu() -> float:
     for _ in range(3):
         t0 = time.time()
         for _ in range(MEASURE_STEPS):
-            state, metrics = train_step(state, batch, 0.3, 1e-5, step_rng)
+            state, metrics = train_step(state, batch, sparsity, l1, step_rng)
         jax.block_until_ready(state["atq_params"])
         best_dt = min(best_dt, time.time() - t0)
     return BATCH * MEASURE_STEPS / best_dt
@@ -244,17 +249,19 @@ def bench_retrieval_tpu(batch=64, image_size=160):
          np.full(batch, 20, np.int32)), mesh,
     )
 
+    # Device-resident per-call constants (see bench_tpu note).
+    temp = jnp.float32(0.07)
+    stage = jnp.int32(0)
+    key = jax.random.PRNGKey(1)
     for _ in range(3):
-        state, loss = step(state, batch_data, jnp.float32(0.07),
-                           jnp.int32(0), jax.random.PRNGKey(1))
+        state, loss = step(state, batch_data, temp, stage, key)
     jax.block_until_ready(state["params"])
     iters = 10
     best_dt = float("inf")
     for _ in range(3):  # best-of windows: tunnel dispatch jitter
         t0 = time.time()
         for _ in range(iters):
-            state, loss = step(state, batch_data, jnp.float32(0.07),
-                               jnp.int32(0), jax.random.PRNGKey(1))
+            state, loss = step(state, batch_data, temp, stage, key)
         jax.block_until_ready(state["params"])
         best_dt = min(best_dt, time.time() - t0)
     pairs_per_sec = batch * iters / best_dt
