@@ -27,6 +27,14 @@ class TernaryTransformerLayer(nn.Module):
     sparsity_target: float = 0.3
     layer_idx: int = 0
     grad_mode: str = "parity"
+    # Framework extension (0 = reference-parity dense FFN): replace the
+    # FFN with a ternary-expert MoE (atq_tpu/parallel/moe.py). Expert
+    # planes live on a leading E axis — shard it over an 'expert' mesh
+    # axis under pjit and GSPMD turns the dispatch einsums into
+    # expert-parallel all_to_alls. Load-balance aux loss is sown under
+    # ('intermediates', 'moe_aux_loss').
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, src, src_mask=None, src_key_padding_mask=None,
@@ -55,13 +63,44 @@ class TernaryTransformerLayer(nn.Module):
 
         # Feed-forward block (pre-norm), GELU exact like torch F.gelu.
         src2 = _norm(name="norm2")(src)
-        h = _proj(self.use_rpb, self.dim_feedforward, precision_ratio,
-                  initial_sparsity, "linear1", self.grad_mode)(src2)
-        h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        src2 = _proj(self.use_rpb, self.embed_dim, precision_ratio * 2,
-                     initial_sparsity, "linear2", self.grad_mode)(h)
+        if self.moe_experts > 0:
+            src2 = self._moe_ffn(src2)
+        else:
+            h = _proj(self.use_rpb, self.dim_feedforward, precision_ratio,
+                      initial_sparsity, "linear1", self.grad_mode)(src2)
+            h = jax.nn.gelu(h, approximate=False)
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            src2 = _proj(self.use_rpb, self.embed_dim,
+                         precision_ratio * 2, initial_sparsity, "linear2",
+                         self.grad_mode)(h)
         src = src + nn.Dropout(self.dropout)(
             src2, deterministic=deterministic
         ) * gate_value
         return src
+
+    def _moe_ffn(self, x):
+        """Ternary-expert MoE FFN over flattened (B·L, D) tokens."""
+        import math
+
+        from atq_tpu.parallel.moe import moe_ffn
+
+        b, l, d = x.shape
+        e = self.moe_experts
+        params = {
+            "gate": self.param(
+                "moe_gate", nn.initializers.normal(d ** -0.5), (d, e)),
+            "w1": self.param(
+                "moe_w1", nn.initializers.normal(d ** -0.5),
+                (e, d, self.dim_feedforward)),
+            "w2": self.param(
+                "moe_w2",
+                nn.initializers.normal(self.dim_feedforward ** -0.5),
+                (e, self.dim_feedforward, d)),
+        }
+        tokens = b * l
+        capacity = max(1, math.ceil(tokens / e * self.moe_capacity_factor))
+        y, aux = moe_ffn(x.reshape(tokens, d), params, capacity=capacity,
+                         ternary=True,
+                         sparsity_target=self.sparsity_target)
+        self.sow("intermediates", "moe_aux_loss", aux["aux_loss"])
+        return y.reshape(b, l, d)

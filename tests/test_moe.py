@@ -129,3 +129,28 @@ def test_moe_is_differentiable(setup):
     grads = jax.grad(loss)(params)
     for k in ("gate", "w1", "w2"):
         assert float(jnp.max(jnp.abs(grads[k]))) > 0, k
+
+
+def test_transformer_layer_moe_variant():
+    """moe_experts>0 swaps the FFN for the ternary-expert MoE: forward
+    runs, params include expert planes, aux loss is sown, and the default
+    (moe_experts=0) param tree is unchanged (reference parity)."""
+    from atq_tpu.nn.transformer import TernaryTransformerLayer
+
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 6, 16), jnp.float32)
+    dense = TernaryTransformerLayer(embed_dim=16, num_heads=2,
+                                    dim_feedforward=32)
+    vd = dense.init(jax.random.PRNGKey(0), x)
+    assert "linear1" in vd["params"] and "moe_w1" not in vd["params"]
+
+    moe = TernaryTransformerLayer(embed_dim=16, num_heads=2,
+                                  dim_feedforward=32, moe_experts=4)
+    vm = moe.init(jax.random.PRNGKey(0), x)
+    assert vm["params"]["moe_w1"].shape == (4, 16, 32)
+    assert "linear1" not in vm["params"]
+
+    out, state = moe.apply(vm, x, deterministic=True,
+                           mutable=["intermediates"])
+    assert out.shape == x.shape
+    aux = state["intermediates"]["moe_aux_loss"][0]
+    assert np.isfinite(float(aux)) and float(aux) > 0
