@@ -42,6 +42,10 @@ _MAX_RESIDENT_M = 2048
 
 
 def _on_tpu() -> bool:
+    from atq_tpu.ops.ternary_matmul import pallas_disabled
+
+    if pallas_disabled():  # ATQ_NO_PALLAS=1 kill-switch
+        return False
     try:
         return jax.default_backend() == "tpu"
     except RuntimeError:  # pragma: no cover

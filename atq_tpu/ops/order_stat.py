@@ -84,6 +84,10 @@ def _pallas_select(bits2d, rank):
 
 
 def order_stat_eligible(n: int) -> bool:
+    from atq_tpu.ops.ternary_matmul import pallas_disabled
+
+    if pallas_disabled():  # ATQ_NO_PALLAS=1 kill-switch
+        return False
     try:
         on_tpu = jax.default_backend() == "tpu"
     except RuntimeError:  # pragma: no cover

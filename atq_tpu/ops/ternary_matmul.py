@@ -36,7 +36,20 @@ _TILE_N = 128
 _K_ALIGN = 512  # K padded so K/4 is a whole number of 128-lane vectors
 
 
+def pallas_disabled() -> bool:
+    """Global Pallas kill-switch: ``ATQ_NO_PALLAS=1`` forces every kernel
+    entry point to its XLA fallback. Production escape hatch — a faulting
+    kernel crashes the TPU worker process (and on remote-dispatch setups
+    can wedge the chip for minutes), so operators need a flag that
+    restores service without a code change."""
+    import os
+
+    return os.environ.get("ATQ_NO_PALLAS", "0") == "1"
+
+
 def _on_tpu() -> bool:
+    if pallas_disabled():
+        return False
     try:
         return jax.default_backend() == "tpu"
     except RuntimeError:  # pragma: no cover

@@ -86,3 +86,18 @@ def test_pack_rows_round_trip(in_features):
     assert packed.shape == (16, (in_features + 3) // 4)
     out = unpack_rows(packed, in_features)
     np.testing.assert_array_equal(np.asarray(out), w)
+
+
+def test_atq_no_pallas_kill_switch(monkeypatch):
+    """ATQ_NO_PALLAS=1 must force every kernel gate to the XLA fallback
+    regardless of backend — the production escape hatch for a faulting
+    Pallas kernel (a kernel fault crashes the TPU worker process)."""
+    from atq_tpu.ops import fused_linear, order_stat, ternary_matmul
+
+    monkeypatch.setenv("ATQ_NO_PALLAS", "1")
+    assert ternary_matmul.pallas_disabled()
+    assert not ternary_matmul.pallas_eligible((64, 512), (128, 512))
+    assert not order_stat.order_stat_eligible(1024)
+    assert not fused_linear._on_tpu()
+    monkeypatch.setenv("ATQ_NO_PALLAS", "0")
+    assert not ternary_matmul.pallas_disabled()
