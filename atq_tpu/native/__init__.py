@@ -54,6 +54,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64, ctypes.c_float, ctypes.POINTER(ctypes.c_double),
     ]
+    lib.atq_sparse_ell.restype = ctypes.c_int64
+    lib.atq_sparse_ell.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+    ]
     _lib = lib
     return _lib
 
@@ -139,3 +146,44 @@ def ternarize(weights: np.ndarray, threshold: float):
                                     ctypes.byref(acc)))
         dot = acc.value
     return out.reshape(weights.shape), nnz, dot
+
+
+def _i32ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def sparse_ell(correction: np.ndarray, c: int):
+    """Hybrid ELL+COO arrays for a sparse correction matrix.
+
+    Returns ``(idx (n,c) int32, val (n,c) f32, coo_row, coo_col, coo_val)``
+    — the first ``c`` nonzeros per row in column order in the ELL part,
+    the spill in the COO triple. Native single pass when the library is
+    present; fully vectorized numpy otherwise (no per-row Python loop).
+    """
+    correction = np.ascontiguousarray(correction, dtype=np.float32)
+    n, k = correction.shape
+    nnz_per_row = np.count_nonzero(correction, axis=1)
+    spill_total = int(np.maximum(nnz_per_row - c, 0).sum())
+    idx = np.zeros((n, c), np.int32)
+    val = np.zeros((n, c), np.float32)
+    lib = _load()
+    if lib is not None:
+        coo_row = np.empty(spill_total, np.int32)
+        coo_col = np.empty(spill_total, np.int32)
+        coo_val = np.empty(spill_total, np.float32)
+        wrote = int(lib.atq_sparse_ell(
+            _fptr(correction), n, k, c, _i32ptr(idx), _fptr(val),
+            _i32ptr(coo_row), _i32ptr(coo_col), _fptr(coo_val)))
+        assert wrote == spill_total, (wrote, spill_total)
+        return idx, val, coo_row, coo_col, coo_val
+    rows, cols = np.nonzero(correction)  # row-major order
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(nnz_per_row, out=starts[1:])
+    pos = np.arange(rows.size) - starts[rows]  # position within its row
+    ell = pos < c
+    idx[rows[ell], pos[ell]] = cols[ell]
+    val[rows[ell], pos[ell]] = correction[rows[ell], cols[ell]]
+    sp = ~ell
+    return (idx, val, rows[sp].astype(np.int32),
+            cols[sp].astype(np.int32),
+            correction[rows[sp], cols[sp]].astype(np.float32))

@@ -52,29 +52,22 @@ def _sparse_ell(correction: np.ndarray):
     if total_nnz == 0:
         return None
     c = max(1, int(round(total_nnz / n)))
+    # Single native C pass (csrc/atq_native.cpp:atq_sparse_ell) or the
+    # vectorized numpy fallback — either way no per-row Python loop, so
+    # export cost stays flat as layers grow.
+    from atq_tpu.native import sparse_ell
+
+    idx, val, coo_row, coo_col, coo_val = sparse_ell(correction, c)
     idx_dtype = np.uint16 if k <= np.iinfo(np.uint16).max else np.int32
     row_dtype = np.uint16 if n <= np.iinfo(np.uint16).max else np.int32
-    idx = np.zeros((n, c), idx_dtype)
-    val = np.zeros((n, c), np.float32)
-    coo_row, coo_col, coo_val = [], [], []
-    for row in range(n):
-        cols = np.nonzero(correction[row])[0]
-        keep = cols[:c]
-        idx[row, : keep.size] = keep
-        val[row, : keep.size] = correction[row, keep]
-        for col in cols[c:]:
-            coo_row.append(row)
-            coo_col.append(col)
-            coo_val.append(correction[row, col])
     out = {
-        "corr_idx": jnp.asarray(idx),
+        "corr_idx": jnp.asarray(idx.astype(idx_dtype)),
         "corr_val": jnp.asarray(val, jnp.bfloat16),
     }
-    if coo_row:
-        out["coo_row"] = jnp.asarray(np.asarray(coo_row, row_dtype))
-        out["coo_col"] = jnp.asarray(np.asarray(coo_col, idx_dtype))
-        out["coo_val"] = jnp.asarray(np.asarray(coo_val, np.float32),
-                                     jnp.bfloat16)
+    if coo_row.size:
+        out["coo_row"] = jnp.asarray(coo_row.astype(row_dtype))
+        out["coo_col"] = jnp.asarray(coo_col.astype(idx_dtype))
+        out["coo_val"] = jnp.asarray(coo_val, jnp.bfloat16)
     return out
 
 

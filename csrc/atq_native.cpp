@@ -88,4 +88,36 @@ int64_t atq_ternarize(const float* w, float* w_t, int64_t n, float threshold,
     return nnz;
 }
 
+// Hybrid ELL+COO export of a sparse correction matrix (serving path,
+// atq_tpu/serve/packed_model.py). Row-major walk; the first `c` nonzeros
+// of each row land in the (n, c) ELL arrays (idx zeroed by the caller =
+// column 0 / value 0 padding), the rest spill in order into the COO
+// triple, which the caller preallocates at the exact spill count it
+// computed from the per-row nonzero histogram. Returns the number of COO
+// entries written.
+int64_t atq_sparse_ell(const float* corr, int64_t n, int64_t k, int64_t c,
+                       int32_t* idx, float* val, int32_t* coo_row,
+                       int32_t* coo_col, float* coo_val) {
+    int64_t spill = 0;
+    for (int64_t r = 0; r < n; ++r) {
+        const float* row = corr + r * k;
+        int64_t filled = 0;
+        for (int64_t col = 0; col < k; ++col) {
+            const float v = row[col];
+            if (v == 0.0f) continue;
+            if (filled < c) {
+                idx[r * c + filled] = static_cast<int32_t>(col);
+                val[r * c + filled] = v;
+                ++filled;
+            } else {
+                coo_row[spill] = static_cast<int32_t>(r);
+                coo_col[spill] = static_cast<int32_t>(col);
+                coo_val[spill] = v;
+                ++spill;
+            }
+        }
+    }
+    return spill;
+}
+
 }  // extern "C"

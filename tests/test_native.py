@@ -57,3 +57,39 @@ def test_ternarize_matches_reference_semantics():
     np.testing.assert_array_equal(w_t, expected)
     assert nnz == int(np.sum(expected != 0))
     assert abs(dot - float(np.sum(w * expected))) < 1e-3
+
+
+def test_sparse_ell_native_matches_fallback():
+    """Native C atq_sparse_ell == vectorized numpy fallback, and both
+    reconstruct the correction matrix exactly (ELL + COO spill)."""
+    import atq_tpu.native as native
+
+    rng = np.random.RandomState(11)
+    corr = np.zeros((64, 300), np.float32)
+    mask = rng.rand(*corr.shape) < 0.12
+    corr[mask] = rng.randn(mask.sum())
+    c = 30
+
+    results = []
+    saved = (native._lib, native._tried)
+    try:
+        for force_fallback in (False, True):
+            if force_fallback:
+                native._lib, native._tried = None, True
+            else:
+                native._lib, native._tried = saved
+            idx, val, cr, cc, cv = native.sparse_ell(corr, c)
+            rec = np.zeros_like(corr)
+            r_ = np.repeat(np.arange(corr.shape[0]), c)
+            flat_idx, flat_val = idx.reshape(-1), val.reshape(-1)
+            nz = flat_val != 0
+            rec[r_[nz], flat_idx[nz]] = flat_val[nz]
+            rec[cr, cc] = cv
+            np.testing.assert_array_equal(rec, corr)
+            results.append((idx, val, cr, cc, cv))
+    finally:
+        native._lib, native._tried = saved
+
+    if native.available():
+        for a, b in zip(results[0], results[1]):
+            np.testing.assert_array_equal(a, b)
