@@ -1,3 +1,4 @@
+from atq_tpu.serve.engine import BatchServer, pad_to_bucket, pick_bucket
 from atq_tpu.serve.packed_model import (
     pack_quantized_params,
     packed_linear_apply,
@@ -5,6 +6,9 @@ from atq_tpu.serve.packed_model import (
 )
 
 __all__ = [
+    "BatchServer",
+    "pad_to_bucket",
+    "pick_bucket",
     "pack_quantized_params",
     "packed_linear_apply",
     "PackedClassifier",

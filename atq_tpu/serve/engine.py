@@ -1,0 +1,195 @@
+"""Micro-batching serving engine.
+
+The reference's deployment story stops at per-sample
+``measure_inference_time`` (utils/metrics.py:21-57). A TPU serves
+efficiently only when requests are batched — the MXU is idle at batch 1 —
+so this engine fronts any jitted apply function with a request queue, a
+collector thread that forms batches up to ``max_batch`` (dispatching
+early after ``max_wait_ms`` when traffic is light), and shape buckets so
+XLA compiles one program per bucket instead of one per request shape.
+
+Design points (TPU-first):
+- **Static shapes**: every request is padded to its bucket's shape; the
+  bucket set is fixed up front, so steady-state serving never recompiles.
+- **One dispatch per batch**: requests are stacked on the leading axis,
+  run once, and the outputs split back per request.
+- **Futures**: ``submit`` returns ``concurrent.futures.Future``; callers
+  block only on their own result. Exceptions propagate to the requests
+  of the failing batch, not the whole server.
+
+Works with any callable — the packed classifier
+(serve/packed_model.py), an embed fn (train/retrieval.py:build_embed_fn),
+or a plain jitted model apply.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from queue import Empty, Queue
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+
+def pad_to_bucket(arr: np.ndarray, length: int, pad_value=0):
+    """Pad ``arr``'s axis 0 (its own length axis) up to ``length``."""
+    if arr.shape[0] > length:
+        raise ValueError(f"request length {arr.shape[0]} exceeds largest "
+                         f"bucket {length}")
+    if arr.shape[0] == length:
+        return arr
+    pad = [(0, length - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad, constant_values=pad_value)
+
+
+def pick_bucket(buckets: Sequence[int], n: int) -> int:
+    for b in sorted(buckets):
+        if n <= b:
+            return b
+    raise ValueError(f"length {n} exceeds largest bucket {max(buckets)}")
+
+
+@dataclass
+class _Request:
+    payload: tuple
+    future: Future = field(default_factory=Future)
+    bucket: Optional[int] = None
+
+
+class BatchServer:
+    """Micro-batching front for a jitted per-batch function.
+
+    Args:
+        apply_fn: callable taking stacked numpy/jax arrays with a leading
+            batch axis (one positional arg per request field) and
+            returning an array (or tuple of arrays) with the same leading
+            batch size.
+        max_batch: largest batch per dispatch.
+        max_wait_ms: how long the collector waits for more requests
+            before dispatching a partial batch.
+        bucket_by: index of the request field whose axis-0 length chooses
+            the shape bucket (e.g. token ids), or None when all requests
+            share one shape (images).
+        buckets: sorted lengths for the bucketed field.
+        pad_value: padding constant for the bucketed field.
+    """
+
+    def __init__(self, apply_fn: Callable, max_batch: int = 32,
+                 max_wait_ms: float = 2.0, bucket_by: Optional[int] = None,
+                 buckets: Sequence[int] = (), pad_value=0):
+        if bucket_by is not None and not buckets:
+            raise ValueError("bucket_by requires buckets")
+        self._apply = apply_fn
+        self._max_batch = max_batch
+        self._max_wait = max_wait_ms / 1000.0
+        self._bucket_by = bucket_by
+        self._buckets = tuple(sorted(buckets))
+        self._pad_value = pad_value
+        self._queue: Queue = Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._started = False
+        self.stats = {"batches": 0, "requests": 0, "occupancy_sum": 0.0}
+
+    # -- public API ------------------------------------------------------
+
+    def start(self) -> "BatchServer":
+        if not self._started:
+            self._started = True
+            self._thread.start()
+        return self
+
+    def submit(self, *fields) -> Future:
+        """Enqueue one request (each field WITHOUT the batch axis)."""
+        fields = tuple(np.asarray(f) for f in fields)
+        req = _Request(payload=fields)
+        if self._bucket_by is not None:
+            n = fields[self._bucket_by].shape[0]
+            req.bucket = pick_bucket(self._buckets, n)
+        self._queue.put(req)
+        return req.future
+
+    def __call__(self, *fields):
+        """Synchronous convenience: submit and wait."""
+        return self.submit(*fields).result()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._started:
+            self._thread.join(timeout=5)
+
+    def __enter__(self) -> "BatchServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- collector -------------------------------------------------------
+
+    def _take_batch(self) -> List[_Request]:
+        """Block for the first request, then collect compatible ones until
+        max_batch or max_wait elapses. Requests from other buckets are
+        deferred, preserving order."""
+        try:
+            first = self._queue.get(timeout=0.1)
+        except Empty:
+            return []
+        batch = [first]
+        deferred: List[_Request] = []
+        deadline = time.monotonic() + self._max_wait
+        while len(batch) < self._max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                req = self._queue.get(timeout=remaining)
+            except Empty:
+                break
+            if req.bucket == first.bucket:
+                batch.append(req)
+            else:
+                deferred.append(req)
+        for req in deferred:
+            self._queue.put(req)
+        return batch
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            batch = self._take_batch()
+            if not batch:
+                continue
+            self._dispatch(batch)
+        # drain on shutdown
+        while True:
+            batch = self._take_batch()
+            if not batch:
+                break
+            self._dispatch(batch)
+
+    def _dispatch(self, batch: List[_Request]) -> None:
+        try:
+            n_fields = len(batch[0].payload)
+            stacked = []
+            for i in range(n_fields):
+                fields = [r.payload[i] for r in batch]
+                if self._bucket_by == i:
+                    fields = [pad_to_bucket(f, batch[0].bucket,
+                                            self._pad_value)
+                              for f in fields]
+                stacked.append(np.stack(fields))
+            out = self._apply(*stacked)
+            outs = out if isinstance(out, tuple) else (out,)
+            outs = tuple(np.asarray(o) for o in outs)
+            for j, req in enumerate(batch):
+                per = tuple(o[j] for o in outs)
+                req.future.set_result(per if len(per) > 1 else per[0])
+            self.stats["batches"] += 1
+            self.stats["requests"] += len(batch)
+            self.stats["occupancy_sum"] += len(batch) / self._max_batch
+        except Exception as e:  # propagate to THIS batch's callers only
+            for req in batch:
+                if not req.future.done():
+                    req.future.set_exception(e)

@@ -1,0 +1,139 @@
+"""Micro-batching serving engine (atq_tpu/serve/engine.py).
+
+Framework capability beyond the reference (its deployment story stops at
+per-sample measure_inference_time, utils/metrics.py:21-57). Checks:
+batching correctness vs direct apply, shape buckets + padding, early
+dispatch under light traffic, per-batch error isolation, and serving the
+real packed classifier.
+"""
+
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atq_tpu.serve.engine import BatchServer, pad_to_bucket, pick_bucket
+
+
+def test_bucket_helpers():
+    assert pick_bucket([8, 16, 32], 5) == 8
+    assert pick_bucket([8, 16, 32], 16) == 16
+    assert pick_bucket([8, 16, 32], 17) == 32
+    with pytest.raises(ValueError):
+        pick_bucket([8], 9)
+    padded = pad_to_bucket(np.arange(5), 8, pad_value=0)
+    assert padded.shape == (8,) and padded[5:].sum() == 0
+
+
+def test_batches_match_direct_apply():
+    calls = []
+
+    def apply_fn(x):
+        calls.append(x.shape[0])
+        return x * 2.0
+
+    with BatchServer(apply_fn, max_batch=8, max_wait_ms=20) as srv:
+        xs = [np.full((3,), i, np.float32) for i in range(20)]
+        futs = [srv.submit(x) for x in xs]
+        outs = [f.result(timeout=10) for f in futs]
+    for i, o in enumerate(outs):
+        np.testing.assert_allclose(o, xs[i] * 2.0)
+    assert sum(calls) == 20
+    assert max(calls) <= 8
+    assert srv.stats["requests"] == 20
+
+
+def test_buckets_pad_and_separate():
+    seen = []
+
+    def apply_fn(tokens, lengths):
+        seen.append(tokens.shape)
+        # mean over the true length — padding must not leak
+        mask = np.arange(tokens.shape[1])[None, :] < lengths[:, None]
+        return (tokens * mask).sum(axis=1) / lengths
+
+    with BatchServer(apply_fn, max_batch=4, max_wait_ms=20, bucket_by=0,
+                     buckets=(8, 16)) as srv:
+        futs = []
+        rng = np.random.RandomState(0)
+        truths = []
+        for i in range(12):
+            n = int(rng.randint(1, 17))
+            toks = rng.rand(n).astype(np.float32)
+            truths.append(toks.mean())
+            futs.append(srv.submit(toks, np.asarray(n, np.float32)))
+        outs = [f.result(timeout=10) for f in futs]
+    np.testing.assert_allclose(outs, truths, rtol=1e-6)
+    assert set(s[1] for s in seen) <= {8, 16}  # every batch bucketed
+
+
+def test_light_traffic_dispatches_early():
+    def apply_fn(x):
+        return x + 1
+
+    with BatchServer(apply_fn, max_batch=64, max_wait_ms=5) as srv:
+        t0 = time.monotonic()
+        out = srv(np.zeros(2, np.float32))
+        dt = time.monotonic() - t0
+    np.testing.assert_allclose(out, np.ones(2))
+    assert dt < 2.0  # did not wait for a full batch of 64
+
+
+def test_error_isolated_to_failing_batch():
+    def apply_fn(x):
+        if float(x.sum()) < 0:
+            raise RuntimeError("bad batch")
+        return x
+
+    with BatchServer(apply_fn, max_batch=1, max_wait_ms=1) as srv:
+        bad = srv.submit(np.full(2, -5, np.float32))
+        good = srv.submit(np.ones(2, np.float32))
+        with pytest.raises(RuntimeError):
+            bad.result(timeout=10)
+        np.testing.assert_allclose(good.result(timeout=10), np.ones(2))
+
+
+def test_serves_packed_classifier():
+    from atq_tpu.models.image_classifier import ATQImageClassifier
+    from atq_tpu.serve.packed_model import PackedClassifier
+
+    model = ATQImageClassifier(use_rpb=True)
+    rng = np.random.RandomState(0)
+    sample = jnp.zeros((2, 28, 28, 1), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), sample)
+    served = PackedClassifier(v["params"], v["quant"], v["batch_stats"])
+
+    xs = [rng.randn(28, 28, 1).astype(np.float32) for _ in range(9)]
+    direct = np.asarray(served(jnp.asarray(np.stack(xs))))
+    with BatchServer(lambda x: served(jnp.asarray(x)), max_batch=4,
+                     max_wait_ms=10) as srv:
+        outs = [f.result(timeout=30)
+                for f in [srv.submit(x) for x in xs]]
+    # batch-4 vs batch-9 conv reductions reassociate; logits are O(500)
+    np.testing.assert_allclose(np.stack(outs), direct, rtol=1e-5,
+                               atol=5e-3)
+
+
+def test_concurrent_submitters():
+    def apply_fn(x):
+        return x * 3.0
+
+    results = {}
+
+    def worker(srv, wid):
+        x = np.full((4,), wid, np.float32)
+        results[wid] = srv(x)
+
+    with BatchServer(apply_fn, max_batch=16, max_wait_ms=5) as srv:
+        threads = [threading.Thread(target=worker, args=(srv, i))
+                   for i in range(24)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=10)
+    for wid, out in results.items():
+        np.testing.assert_allclose(out, np.full((4,), wid * 3.0))
+    assert len(results) == 24
