@@ -87,21 +87,19 @@ def bench_tpu() -> float:
     step_rng = jax.random.PRNGKey(1)
     sparsity = jnp.float32(0.3)
     l1 = jnp.float32(1e-5)
-    for _ in range(WARMUP_STEPS):
-        state, metrics = train_step(state, batch, sparsity, l1, step_rng)
-    jax.block_until_ready(state["atq_params"])
+    # Honest timing: device_get-synced two-window slope
+    # (atq_tpu/utils/timing.py) — block_until_ready can return early over
+    # the axon tunnel and each dispatch->fetch roundtrip costs ~27 ms.
+    from atq_tpu.utils.timing import steady_state_sec_per_step
 
-    # The axon tunnel adds jittery dispatch latency; take the best of
-    # several measurement windows so the recorded number reflects the chip,
-    # not a transient host stall.
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(MEASURE_STEPS):
-            state, metrics = train_step(state, batch, sparsity, l1, step_rng)
-        jax.block_until_ready(state["atq_params"])
-        best_dt = min(best_dt, time.time() - t0)
-    return BATCH * MEASURE_STEPS / best_dt
+    def step_fn(state):
+        new_state, metrics = train_step(state, batch, sparsity, l1, step_rng)
+        return new_state, metrics["loss"]
+
+    dt, _ = steady_state_sec_per_step(step_fn, state, (),
+                                      warmup=WARMUP_STEPS,
+                                      iters=MEASURE_STEPS)
+    return BATCH / dt
 
 
 def bench_torch_cpu() -> float:
@@ -249,34 +247,26 @@ def bench_retrieval_tpu(batch=64, image_size=160):
          np.full(batch, 20, np.int32)), mesh,
     )
 
-    # Device-resident per-call constants (see bench_tpu note).
+    # Device-resident per-call constants (see bench_tpu note) + honest
+    # slope timing (atq_tpu/utils/timing.py).
+    from atq_tpu.utils.timing import steady_state_sec_per_step
+
     temp = jnp.float32(0.07)
     stage = jnp.int32(0)
     key = jax.random.PRNGKey(1)
-    for _ in range(3):
-        state, loss = step(state, batch_data, temp, stage, key)
-    jax.block_until_ready(state["params"])
-    iters = 10
-    best_dt = float("inf")
-    for _ in range(3):  # best-of windows: tunnel dispatch jitter
-        t0 = time.time()
-        for _ in range(iters):
-            state, loss = step(state, batch_data, temp, stage, key)
-        jax.block_until_ready(state["params"])
-        best_dt = min(best_dt, time.time() - t0)
-    pairs_per_sec = batch * iters / best_dt
+    dt, state = steady_state_sec_per_step(
+        lambda s: step(s, batch_data, temp, stage, key), state, (),
+        warmup=3, iters=10)
+    pairs_per_sec = batch / dt
 
     embed = jax.jit(build_embed_fn(model), static_argnames=("use_ema",))
     one = (batch_data[0][:1], batch_data[1][:1], batch_data[2][:1])
     emb_state = {k: state[k] for k in
                  ("params", "quant", "constants", "batch_stats",
                   "ema_params")}
-    jax.block_until_ready(embed(emb_state, one))
-    t0 = time.time()
-    for _ in range(20):
-        out = embed(emb_state, one)
-    jax.block_until_ready(out)
-    infer_ms = (time.time() - t0) / 20 * 1000
+    from atq_tpu.utils.timing import sec_per_call
+
+    infer_ms = sec_per_call(embed, emb_state, one, iters=20) * 1000
     return pairs_per_sec, infer_ms
 
 

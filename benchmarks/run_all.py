@@ -34,22 +34,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def _steady_state(step_fn, state, args, warmup=3, iters=20, windows=3):
-    """Best-of-``windows`` steady-state seconds/step — the axon tunnel adds
-    jittery dispatch latency, so a single window can overstate step time by
-    several x when the host stalls."""
-    import jax
+    """Honest seconds/step: device_get-synced two-window slope timing
+    (atq_tpu/utils/timing.py) — block_until_ready can return early over
+    the axon tunnel and each dispatch->fetch roundtrip costs ~27 ms, so
+    naive windows measure mostly latency."""
+    from atq_tpu.utils.timing import steady_state_sec_per_step
 
-    for _ in range(warmup):
-        state, out = step_fn(state, *args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(windows):
-        t0 = time.time()
-        for _ in range(iters):
-            state, out = step_fn(state, *args)
-        jax.block_until_ready(out)
-        best = min(best, time.time() - t0)
-    return best / iters
+    sec, _state = steady_state_sec_per_step(step_fn, state, args,
+                                            warmup=warmup, iters=iters,
+                                            windows=windows)
+    return sec
 
 
 def _add_mfu(result, jitted, dt, *concrete_args):
@@ -192,21 +186,10 @@ def bench_packed_inference(batch=64):
                               variables["batch_stats"])
     dense_apply = jax.jit(lambda v, x: model.apply(v, x, train=False))
 
-    out = served(x)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(50):
-        out = served(x)
-    jax.block_until_ready(out)
-    packed_ms = (time.time() - t0) / 50 * 1000
+    from atq_tpu.utils.timing import sec_per_call
 
-    out = dense_apply(variables, x)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(50):
-        out = dense_apply(variables, x)
-    jax.block_until_ready(out)
-    dense_ms = (time.time() - t0) / 50 * 1000
+    packed_ms = sec_per_call(served, x, iters=50) * 1000
+    dense_ms = sec_per_call(dense_apply, variables, x, iters=50) * 1000
 
     fp = served.memory_footprint_bytes()
     result = {
@@ -280,24 +263,51 @@ def bench_retrieval(batch=64, image_size=160, use_amp=False):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", type=str, default=None)
+    parser.add_argument("--only", type=str, default=None,
+                        help="comma-separated config keys to run (e.g. "
+                             "'config4'); default = all")
     args = parser.parse_args()
 
     import jax
 
+    # config4 (the Pallas serving path) runs LAST: a kernel fault crashes
+    # the TPU worker process, and on remote-dispatch setups that wedges
+    # the chip — ordering it last (plus incremental --out writes) means a
+    # crash can't take the other configs' results with it.
+    configs = [
+        ("config1_ternary_classifier",
+         "Fashion-MNIST TernaryLinear classifier",
+         lambda: bench_classifier(False, False)),
+        ("config2_rpb_distill", "Fashion-MNIST RPB + distillation",
+         lambda: bench_classifier(True, True)),
+        ("config3_mixed_precision", "Mixed-precision transformer layer",
+         bench_mixed_precision),
+        ("config5_retrieval", "Flickr8k retrieval contrastive",
+         bench_retrieval),
+        ("config5_retrieval_amp",
+         "Flickr8k retrieval contrastive (bf16 AMP)",
+         lambda: bench_retrieval(use_amp=True)),
+        ("config4_packed_inference", "Bit-packed inference path",
+         bench_packed_inference),
+    ]
+    if args.only:
+        wanted = [w.strip() for w in args.only.split(",")]
+        configs = [c for c in configs
+                   if any(c[0].startswith(w) for w in wanted)]
+
     results = {"backend": jax.default_backend(),
                "device": str(jax.devices()[0])}
-    print("1/6 Fashion-MNIST TernaryLinear classifier...")
-    results["config1_ternary_classifier"] = bench_classifier(False, False)
-    print("2/6 Fashion-MNIST RPB + distillation...")
-    results["config2_rpb_distill"] = bench_classifier(True, True)
-    print("3/6 Mixed-precision transformer layer...")
-    results["config3_mixed_precision"] = bench_mixed_precision()
-    print("4/6 Bit-packed inference path...")
-    results["config4_packed_inference"] = bench_packed_inference()
-    print("5/6 Flickr8k retrieval contrastive...")
-    results["config5_retrieval"] = bench_retrieval()
-    print("6/6 Flickr8k retrieval contrastive (bf16 AMP)...")
-    results["config5_retrieval_amp"] = bench_retrieval(use_amp=True)
+    if args.out and os.path.exists(args.out):
+        with open(args.out) as f:  # --only merges into existing results
+            prev = json.load(f)
+        prev.update(results)
+        results = prev
+    for i, (key, title, fn) in enumerate(configs):
+        print(f"{i + 1}/{len(configs)} {title}...")
+        results[key] = fn()
+        if args.out:  # incremental write: crash-safe
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
 
     print(json.dumps(results, indent=2))
     if args.out:
