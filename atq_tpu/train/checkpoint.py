@@ -18,16 +18,33 @@ from typing import Any, Optional
 import jax
 
 
+_ASYNC_CKPT = None
+
+
 def _checkpointer():
+    """Process-wide AsyncCheckpointer: ``save`` returns once the state is
+    snapshotted to host memory and the write happens on a background
+    thread, so per-epoch checkpointing overlaps the next epoch's compute
+    instead of stalling it."""
+    global _ASYNC_CKPT
     import orbax.checkpoint as ocp
 
-    return ocp.PyTreeCheckpointer()
+    if _ASYNC_CKPT is None:
+        _ASYNC_CKPT = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPT
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every in-flight async save has committed to disk. Call
+    before reading checkpoints back or exiting the process."""
+    if _ASYNC_CKPT is not None:
+        _ASYNC_CKPT.wait_until_finished()
 
 
 def save_train_state(directory: str, step: int, state: Any,
                      keep: int = 3) -> str:
-    """Save the full training state under ``directory/step_N``; prunes old
-    steps beyond ``keep``."""
+    """Async-save the full training state under ``directory/step_N``;
+    prunes old COMMITTED steps beyond ``keep``."""
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"step_{step}")
@@ -36,7 +53,8 @@ def save_train_state(directory: str, step: int, state: Any,
 
     steps = sorted(
         (int(d.split("_")[1]) for d in os.listdir(directory)
-         if d.startswith("step_") and d.split("_")[1].isdigit()),
+         if d.startswith("step_") and d.split("_")[1].isdigit()
+         and int(d.split("_")[1]) != step),
     )
     for old in steps[:-keep]:
         import shutil
@@ -66,6 +84,7 @@ def restore_train_state(directory: str, template: Any,
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {directory}")
     path = os.path.join(os.path.abspath(directory), f"step_{step}")
+    wait_for_checkpoints()  # the latest save may still be in flight
     ckpt = _checkpointer()
     restored = ckpt.restore(path, item=jax.device_get(template))
     return restored, step

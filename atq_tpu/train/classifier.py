@@ -489,6 +489,9 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
               f" | Memory {base_mem / max(1e-9, atq_mem):.2f}x | "
               f"Speed {base_time / max(1e-9, atq_time):.2f}x | "
               f"Acc Delta {test_acc - base_test_acc:.1f}%")
+    from atq_tpu.train.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()  # async Orbax saves must commit before exit
     return state, results
 
 

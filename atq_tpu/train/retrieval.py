@@ -765,6 +765,9 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
         for k in (1, 5, 10):
             print(f"  Test R@{k}: {test_metrics[f'mean_R@{k}']:.2f}%")
         print(f"  ATQ inference time: {atq_time_ms:.2f} ms per sample")
+    from atq_tpu.train.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()  # async Orbax saves must commit before exit
     return state, history, report
 
 
