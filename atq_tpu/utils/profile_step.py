@@ -28,11 +28,16 @@ import re
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
 
-# Tracks whose events are on-device op executions (vs host python/runtime
-# threads). XLA labels device lanes like "/device:TPU:0 ...", "TPU:0 XLA
-# Ops", "XLA Ops", "Steps"; the CPU backend uses "/host:CPU" XLA lanes.
-_DEVICE_TRACK = re.compile(
-    r"(/device:|XLA Ops|XLA Modules|TensorFlow Ops|Steps)", re.I)
+# Track preference, most specific first: the op-level lane ("XLA Ops")
+# gives per-fusion timings; module/step lanes only repeat the whole-step
+# duration (module name / step number per execution) and would drown the
+# op rows, so they are used only when no finer lane exists.
+_TRACK_PREFERENCE = [
+    re.compile(r"XLA Ops", re.I),
+    re.compile(r"TensorFlow Ops", re.I),
+    re.compile(r"XLA Modules", re.I),
+    re.compile(r"(/device:|Steps)", re.I),
+]
 
 
 @dataclass
@@ -88,17 +93,17 @@ def summarize_trace(trace_dir: str, top: int = 25,
                 thread_names[(e.get("pid"), e.get("tid"))] = (
                     e["args"].get("name", ""))
 
-    def on_device(e) -> bool:
-        pname = proc_names.get(e.get("pid"), "")
-        tname = thread_names.get((e.get("pid"), e.get("tid")), "")
-        return bool(_DEVICE_TRACK.search(pname) or
-                    _DEVICE_TRACK.search(tname))
-
     complete = [e for e in events if e.get("ph") == "X" and "dur" in e]
     if device_only:
-        dev = [e for e in complete if on_device(e)]
-        if dev:
-            complete = dev
+        def track_name(e) -> str:
+            return (proc_names.get(e.get("pid"), "") + " | " +
+                    thread_names.get((e.get("pid"), e.get("tid")), ""))
+
+        for pat in _TRACK_PREFERENCE:
+            hit = [e for e in complete if pat.search(track_name(e))]
+            if hit:
+                complete = hit
+                break
 
     agg: Dict[str, List[float]] = {}
     for e in complete:
