@@ -122,6 +122,18 @@ def _quantize(weight, alpha, sparsity_target, grad_mode: str):
                                          sparsity_target=sparsity_target)
 
 
+
+def _packed_forward(entry, x, features: int):
+    """Serve this layer from its exported 2-bit planes (the 'packed'
+    variable collection, serve/packed_model.py:export_packed_collection).
+    Bias lives inside the entry."""
+    from atq_tpu.serve.packed_model import packed_linear_apply
+
+    lead = x.shape[:-1]
+    y = packed_linear_apply(entry, x.reshape(-1, x.shape[-1]))
+    return y.reshape(*lead, features)
+
+
 class TernaryLinear(nn.Module):
     """Linear layer over ternarized weights with a learnable scalar alpha.
 
@@ -141,6 +153,9 @@ class TernaryLinear(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.has_variable("packed", "entry"):
+            return _packed_forward(self.get_variable("packed", "entry"),
+                                   x, self.features)
         in_features = x.shape[-1]
         weight = self.param(
             "weight", kaiming_uniform_torch(math.sqrt(5)),
@@ -206,6 +221,9 @@ class ResidualPrecisionBoostLinear(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.has_variable("packed", "entry"):
+            return _packed_forward(self.get_variable("packed", "entry"),
+                                   x, self.features)
         in_features = x.shape[-1]
         weight = self.param(
             "weight", kaiming_uniform_torch(math.sqrt(5)),

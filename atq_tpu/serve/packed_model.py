@@ -202,3 +202,69 @@ class PackedClassifier:
         dense = sum(int(np.prod(e["shape"])) * 4
                     for e in self.packed.values())
         return {"packed_bytes": int(total), "dense_fp32_bytes": int(dense)}
+
+
+def export_packed_collection(params: Dict, quant: Optional[Dict] = None,
+                             sparse_correction: bool = True) -> Dict:
+    """Export EVERY quantized layer in a model's param tree to serving form.
+
+    Walks ``params`` for subtrees shaped like TernaryLinear /
+    ResidualPrecisionBoostLinear ({'weight' (2-D), 'alpha', ...}) and mirrors
+    them as ``{..., layer: {'entry': <packed entry>}}``. The result is a
+    drop-in ``'packed'`` variable collection: quantized layers detect it and
+    serve straight from the 2-bit planes + sparse correction while every
+    other module (convs, norms, embeddings) runs its normal eval path::
+
+        packed = export_packed_collection(variables["params"],
+                                          variables.get("quant"))
+        model.apply({**variables, "packed": packed}, x, ..., train=False)
+
+    Works for ANY model built from the framework's quantized layers — the
+    flagship retrieval model included — not just the classifier wrapper.
+    """
+    quant = quant or {}
+
+    def walk(p_node, q_node):
+        if not isinstance(p_node, dict):
+            return None
+        if ("weight" in p_node and "alpha" in p_node
+                and getattr(p_node["weight"], "ndim", 0) == 2):
+            return {"entry": pack_quantized_layer(
+                p_node, q_node if isinstance(q_node, dict) else None,
+                sparse_correction=sparse_correction)}
+        out = {}
+        for k, v in p_node.items():
+            sub = walk(v, q_node.get(k, {}) if isinstance(q_node, dict)
+                       else {})
+            if sub:
+                out[k] = sub
+        return out or None
+
+    return walk(params, quant) or {}
+
+
+def packed_collection_bytes(packed: Dict) -> int:
+    """Total serving weight bytes in an exported 'packed' collection."""
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        if isinstance(node, dict):
+            if "packed" in node and "shape" in node:
+                total += node["packed"].size
+                if "correction" in node:
+                    total += node["correction"].size * 2
+                for k2 in ("corr_idx", "corr_col", "coo_row", "coo_col"):
+                    if k2 in node:
+                        total += node[k2].size * node[k2].dtype.itemsize
+                for k2 in ("corr_val", "coo_val"):
+                    if k2 in node:
+                        total += node[k2].size * 2
+                if "bias" in node:
+                    total += node["bias"].size * 4
+            else:
+                for v in node.values():
+                    walk(v)
+
+    walk(packed)
+    return total

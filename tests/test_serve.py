@@ -95,3 +95,77 @@ def test_sparse_correction_compression_exceeds_8x():
     fp = served.memory_footprint_bytes()
     ratio = fp["dense_fp32_bytes"] / fp["packed_bytes"]
     assert ratio >= 8.0, f"compression {ratio:.2f}x < 8x"
+
+
+def test_export_packed_collection_serves_any_model():
+    """The generic 'packed' collection: every quantized layer in the
+    flagship retrieval model serves from exported 2-bit planes + sparse
+    correction, matching the dense eval path to bf16-correction
+    tolerance; non-quantized modules are untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
+    from atq_tpu.serve.packed_model import (
+        export_packed_collection,
+        packed_collection_bytes,
+    )
+
+    model = ATQMultimodalRetrieval(vocab_size=60, embed_dim=32,
+                                   hidden_dim=64, use_residual=True,
+                                   max_seq_length=10)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(3, 32, 32, 3), jnp.float32)
+    captions = jnp.asarray(rng.randint(0, 60, (3, 10)), jnp.int32)
+    lengths = jnp.asarray([4, 7, 10], jnp.int32)
+    v = model.init(jax.random.PRNGKey(0), images, captions, lengths)
+
+    packed = export_packed_collection(v["params"], v.get("quant"))
+    assert packed, "no quantized layers found to export"
+    # the text encoder's RPB projections must be among the exports
+    flat = jax.tree_util.tree_leaves_with_path(packed)
+    paths = {"/".join(str(getattr(p, "key", p)) for p in path)
+             for path, _ in flat}
+    assert any("text_encoder" in p for p in paths)
+    assert any("image_encoder" in p or "projector" in p for p in paths)
+
+    dense_img, dense_txt = model.apply(
+        v, images, captions, lengths, return_embeddings=True, train=False)
+    pk_img, pk_txt = model.apply(
+        {**v, "packed": packed}, images, captions, lengths,
+        return_embeddings=True, train=False)
+    # embeddings are L2-normalized; bf16-rounded corrections bound the drift
+    assert float(jnp.max(jnp.abs(pk_img - dense_img))) < 0.15
+    assert float(jnp.max(jnp.abs(pk_txt - dense_txt))) < 0.15
+    # and the packed bytes are a real compression vs dense fp32
+    dense_bytes = sum(
+        np.asarray(l).size * 4
+        for path, l in jax.tree_util.tree_leaves_with_path(v["params"])
+        if str(getattr(path[-1], "key", path[-1])) in ("weight",)
+        and np.asarray(l).ndim == 2)
+    assert packed_collection_bytes(packed) < dense_bytes
+
+
+def test_packed_collection_matches_packed_classifier():
+    """Generic collection serving == the dedicated PackedClassifier
+    wrapper on the same trained weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from atq_tpu.models.image_classifier import ATQImageClassifier
+    from atq_tpu.serve.packed_model import (
+        PackedClassifier,
+        export_packed_collection,
+    )
+
+    model = ATQImageClassifier(use_rpb=True)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(4, 28, 28, 1), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+
+    served = PackedClassifier(v["params"], v["quant"], v["batch_stats"])
+    packed = export_packed_collection(v["params"], v.get("quant"))
+    generic = model.apply({**v, "packed": packed}, x, train=False)
+    np.testing.assert_allclose(np.asarray(generic),
+                               np.asarray(served(x)), rtol=1e-4,
+                               atol=1e-3)
