@@ -230,14 +230,19 @@ def build_train_step(atq_model, base_model, atq_tx, base_tx,
     return train_step
 
 
-def build_eval_step(model, params_key: str, stats_key: str):
+def build_eval_step(model, params_key: str, stats_key: str,
+                    packed=None):
+    """``packed`` (an exported 2-bit serving collection) is closed over,
+    not threaded through ``state``: its entries carry static shape
+    metadata that must not be traced."""
     def eval_step(state, batch):
         images, labels = batch
-        logits = model.apply(
-            {"params": state[params_key], "quant": state.get("quant", {}),
-             "batch_stats": state[stats_key]},
-            images, train=False,
-        )
+        variables = {"params": state[params_key],
+                     "quant": state.get("quant", {}),
+                     "batch_stats": state[stats_key]}
+        if packed:
+            variables["packed"] = packed
+        logits = model.apply(variables, images, train=False)
         return {
             "loss": _cross_entropy(logits, labels)
             * jnp.asarray(labels.shape[0], jnp.float32),

@@ -360,7 +360,9 @@ def build_baseline_train_step(baseline_model, baseline_tx, criterion):
     return step
 
 
-def build_embed_fn(model):
+def build_embed_fn(model, packed=None):
+    """``packed`` (exported 2-bit serving collection) is closed over — its
+    entries carry static shape metadata that must not be traced."""
     def embed(state, batch, use_ema: bool = False):
         images, captions, lengths = batch
         if images.dtype == jnp.uint8:
@@ -369,10 +371,13 @@ def build_embed_fn(model):
             images = (images.astype(jnp.float32) / 255.0
                       - IMAGENET_MEAN) / IMAGENET_STD
         params = state["ema_params"] if use_ema else state["params"]
+        variables = {"params": params, "quant": state["quant"],
+                     "constants": state.get("constants", {}),
+                     "batch_stats": state["batch_stats"]}
+        if packed:
+            variables["packed"] = packed
         return model.apply(
-            {"params": params, "quant": state["quant"],
-             "constants": state.get("constants", {}),
-             "batch_stats": state["batch_stats"]},
+            variables,
             images, captions, lengths, return_embeddings=True, train=False,
         )
 

@@ -42,6 +42,10 @@ def build_parser():
                         "the checkpoint when present — train_retrieval "
                         "writes one precisely so later evaluation cannot "
                         "drift under different tokenization.")
+    parser.add_argument("--packed", action="store_true",
+                        help="serve every quantized layer from exported "
+                             "2-bit planes + sparse correction instead of "
+                             "dense weights (deployment-form eval)")
     parser.add_argument("--output", type=str, default=None,
                         help="Optional JSON file for the metrics")
     return parser
@@ -79,8 +83,15 @@ def main(argv=None):
             "quant": ckpt.get("quant", {}),
             "atq_batch_stats": ckpt.get("batch_stats", {}),
         }
+        packed = None
+        if args.packed:
+            from atq_tpu.serve.packed_model import export_packed_collection
+
+            packed = export_packed_collection(ckpt["params"],
+                                              ckpt.get("quant"))
         eval_fn = jax.jit(build_eval_step(model, "atq_params",
-                                          "atq_batch_stats"))
+                                          "atq_batch_stats",
+                                          packed=packed))
         acc, loss = _run_eval(eval_fn, state, loader)
         metrics = {"accuracy": acc, "loss": loss}
         print(f"{args.dataset} {args.split} accuracy: {acc:.2f}%")
@@ -127,7 +138,13 @@ def main(argv=None):
             "constants": constants,
             "batch_stats": ckpt.get("batch_stats", {}),
         }
-        embed_fn = jax.jit(build_embed_fn(model),
+        packed = None
+        if args.packed:
+            from atq_tpu.serve.packed_model import export_packed_collection
+
+            packed = export_packed_collection(ckpt["params"],
+                                              ckpt.get("quant"))
+        embed_fn = jax.jit(build_embed_fn(model, packed=packed),
                            static_argnames=("use_ema",))
         metrics = evaluate_model(embed_fn, state, loader)
         for k, v in metrics.items():
