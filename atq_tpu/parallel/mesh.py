@@ -69,3 +69,65 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree
     )
+
+
+def tp_spec(path_keys, leaf, tp: int,
+            layer_names=("linear1", "linear2")) -> P:
+    """PartitionSpec for one param/quant leaf under tensor parallelism:
+    2-D weights (and their precision masks) of the named layers shard
+    their out-features axis over 'model'; everything else replicates."""
+    if (tp > 1 and getattr(leaf, "ndim", 0) == 2
+            and str(path_keys[-1]) in ("weight", "precision_mask")
+            and leaf.shape[0] % tp == 0
+            and any(nm in path_keys for nm in layer_names)):
+        return P("model", None)
+    return P()
+
+
+def shard_tree_tp(tree, mesh: Mesh, tp: int,
+                  layer_names=("linear1", "linear2")):
+    """Place a params-like pytree with :func:`tp_spec` per leaf. Returns
+    (placed_tree, set of sharded leaf shapes)."""
+    sharded_shapes = set()
+
+    def place(path, leaf):
+        keys = [str(getattr(p, "key", p)) for p in path]
+        spec = tp_spec(keys, leaf, tp, layer_names)
+        if spec != P():
+            sharded_shapes.add(tuple(leaf.shape))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    placed = jax.tree_util.tree_map_with_path(place, tree)
+    return placed, sharded_shapes
+
+
+def shard_state_tp(state: dict, mesh: Mesh, tp: int,
+                   layer_names=("linear1", "linear2")) -> dict:
+    """Tensor-parallel placement of a full training-state dict.
+
+    params / quant / ema_params shard by path rule (:func:`tp_spec`);
+    optimizer-state leaves (adam moments mirror param shapes inside optax
+    wrapper types, so no stable key paths) shard by SHAPE match against
+    the sharded params; everything else replicates. With these input
+    shardings GSPMD partitions the projections' matmuls over 'model' and
+    inserts the activation collectives — the step function itself is
+    unchanged.
+    """
+    out = {}
+    shapes = set()
+    for key in ("params", "quant", "ema_params"):
+        if key in state:
+            out[key], s = shard_tree_tp(state[key], mesh, tp, layer_names)
+            shapes |= s
+
+    def place_by_shape(leaf):
+        if (getattr(leaf, "ndim", 0) == 2
+                and tuple(leaf.shape) in shapes):
+            return jax.device_put(leaf, NamedSharding(mesh,
+                                                      P("model", None)))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    for key, value in state.items():
+        if key not in out:
+            out[key] = jax.tree_util.tree_map(place_by_shape, value)
+    return out

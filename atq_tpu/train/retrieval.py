@@ -49,7 +49,13 @@ from atq_tpu.losses.contrastive import (
     HardNegativeMiningInfoNCE,
 )
 from atq_tpu.models.retrieval import ATQMultimodalRetrieval, get_model_size_info
-from atq_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from atq_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_state_tp,
+    shard_tree_tp,
+)
 from atq_tpu.train.classifier import _save_checkpoint, load_checkpoint
 from atq_tpu.train.retrieval_metrics import compute_retrieval_metrics
 from atq_tpu.train.schedules_lr import warmup_cosine_schedule
@@ -97,6 +103,9 @@ class RetrievalConfig:
     data_dir: str = "./data/flickr8k"
     grad_mode: str = "parity"
     dp: Optional[int] = None
+    tp: int = 1  # tensor parallelism over the 'model' mesh axis: the
+    # transformer FFN projections (and their precision masks + adam
+    # moments) shard their out-features; GSPMD inserts the collectives
     synthetic_images: int = 400
     resume: bool = False            # resume from the latest Orbax state
     profile_dir: Optional[str] = None  # jax.profiler trace output
@@ -525,7 +534,7 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
                                       criterion)
         )
 
-    mesh = make_mesh(dp=cfg.dp)
+    mesh = make_mesh(dp=cfg.dp, tp=cfg.tp)
     state = {
         "params": params,
         "quant": variables.get("quant", {}),
@@ -536,7 +545,8 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
     }
     if cfg.use_ema:
         state["ema_params"] = jax.tree_util.tree_map(jnp.copy, params)
-    state = replicate(state, mesh)
+    state = (shard_state_tp(state, mesh, cfg.tp) if cfg.tp > 1
+             else replicate(state, mesh))
 
     train_step = jax.jit(
         build_retrieval_train_step(model, tx, criterion, cl_manager, cfg),
@@ -589,7 +599,8 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
             quant_host = set_quant_sparsity(
                 quant_host, sparsity_plan, epoch_progress(epoch, cfg.epochs)
             )
-        state["quant"] = replicate(quant_host, mesh)
+        state["quant"] = (shard_tree_tp(quant_host, mesh, cfg.tp)[0]
+                          if cfg.tp > 1 else replicate(quant_host, mesh))
 
         epoch_loss, n_batches, n_pairs = 0.0, 0, 0
         t0 = time.time()

@@ -202,3 +202,76 @@ def test_classifier_train_step_dp_equivalence(mesh8):
                                float(jax.device_get(m8["loss"])),
                                rtol=1e-5)
     assert int(jax.device_get(m8["count"])) == 16
+
+
+def test_retrieval_train_step_tp_equivalence():
+    """dp=4 x tp=2 (FFN out-features + masks + adam moments sharded over
+    'model') produces the same loss and updated params as the fully
+    replicated dp=8 step — GSPMD partitions the matmuls, the math is
+    unchanged."""
+    import jax.numpy as jnp
+
+    from atq_tpu.losses.contrastive import (
+        ContrastiveLearningManager,
+        HardNegativeMiningInfoNCE,
+    )
+    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
+    from atq_tpu.parallel.mesh import (
+        make_mesh,
+        replicate,
+        shard_batch,
+        shard_state_tp,
+    )
+    from atq_tpu.train.retrieval import (
+        RetrievalConfig,
+        build_retrieval_train_step,
+        make_retrieval_optimizer,
+    )
+
+    model = ATQMultimodalRetrieval(vocab_size=48, embed_dim=32,
+                                   hidden_dim=64, use_residual=True,
+                                   max_seq_length=8)
+    rng = jax.random.PRNGKey(0)
+    v = model.init(rng, jnp.zeros((2, 32, 32, 3)),
+                   jnp.zeros((2, 8), jnp.int32), jnp.asarray([4, 4]))
+    rngd = np.random.RandomState(0)
+    batch = (rngd.randn(8, 32, 32, 3).astype(np.float32),
+             rngd.randint(0, 48, (8, 8)).astype(np.int32),
+             np.full(8, 6, np.int32))
+
+    losses, params_out = [], []
+    for dp, tp in ((8, 1), (4, 2)):
+        cfg = RetrievalConfig(batch_size=8, image_size=32, embed_dim=32,
+                              hidden_dim=64, max_seq_length=8,
+                              use_residual=True, dp=dp, tp=tp)
+        mesh = make_mesh(dp=dp, tp=tp)
+        tx = make_retrieval_optimizer(cfg, 10)
+        crit = HardNegativeMiningInfoNCE(temperature_schedule=False)
+        mgr = ContrastiveLearningManager(criterion=crit)
+        state = {"params": v["params"], "quant": v.get("quant", {}),
+                 "constants": v.get("constants", {}),
+                 "batch_stats": v.get("batch_stats", {}),
+                 "opt_state": tx.init(v["params"]),
+                 "step": jnp.asarray(0, jnp.int32)}
+        state = (shard_state_tp(state, mesh, tp) if tp > 1
+                 else replicate(state, mesh))
+        if tp > 1:
+            # the FFN weights really are sharded over 'model'
+            w = state["params"]["text_encoder"]["layers_0"]["linear1"][
+                "weight"]
+            from jax.sharding import PartitionSpec as PS
+
+            assert w.sharding.spec == PS("model", None)
+        step = jax.jit(build_retrieval_train_step(model, tx, crit, mgr,
+                                                  cfg))
+        new_state, loss = step(state, shard_batch(batch, mesh),
+                               jnp.float32(0.07), jnp.int32(0),
+                               jax.random.PRNGKey(1))
+        losses.append(float(loss))
+        params_out.append(jax.device_get(new_state["params"]))
+
+    np.testing.assert_allclose(losses[0], losses[1], rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params_out[0]),
+                    jax.tree_util.tree_leaves(params_out[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5)

@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data_dir", type=str, default="./data/flickr8k")
     parser.add_argument("--dp", type=int, default=None,
                         help="Data-parallel device count (default: all)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="Tensor-parallel size over the 'model' mesh "
+                             "axis (FFN out-features sharded; dp*tp must "
+                             "equal the device count)")
     parser.add_argument("--synthetic_images", type=int, default=400,
                         help="Synthetic corpus size when real data missing")
     parser.add_argument("--resume", action="store_true",
