@@ -102,7 +102,8 @@ def shard_tree_tp(tree, mesh: Mesh, tp: int,
 
 
 def shard_state_tp(state: dict, mesh: Mesh, tp: int,
-                   layer_names=("linear1", "linear2")) -> dict:
+                   layer_names=("linear1", "linear2"),
+                   param_keys=("params", "quant", "ema_params")) -> dict:
     """Tensor-parallel placement of a full training-state dict.
 
     params / quant / ema_params shard by path rule (:func:`tp_spec`);
@@ -115,7 +116,7 @@ def shard_state_tp(state: dict, mesh: Mesh, tp: int,
     """
     out = {}
     shapes = set()
-    for key in ("params", "quant", "ema_params"):
+    for key in param_keys:
         if key in state:
             out[key], s = shard_tree_tp(state[key], mesh, tp, layer_names)
             shapes |= s

@@ -69,6 +69,8 @@ class ClassifierConfig:
     grad_mode: str = "parity"
     seed: int = 0
     dp: Optional[int] = None  # data-parallel size; None = all devices
+    tp: int = 1  # tensor parallelism: classifier projections sharded
+    # over 'model' (weights + precision masks + adam moments)
     resume: bool = False
     profile_dir: Optional[str] = None
     orbax_freq: int = 5  # epochs between full-state Orbax saves
@@ -300,7 +302,7 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
     atq_tx = make_optimizer(cfg, steps_per_epoch, weight_decay=1e-4)
     base_tx = make_optimizer(cfg, steps_per_epoch)
 
-    mesh = make_mesh(dp=cfg.dp)
+    mesh = make_mesh(dp=cfg.dp, tp=cfg.tp)
     state = {
         "atq_params": atq_vars["params"],
         "quant": atq_vars.get("quant", {}),
@@ -311,7 +313,16 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
         "base_opt_state": base_tx.init(base_vars["params"]),
         "step": jnp.asarray(0, jnp.int32),
     }
-    state = replicate(state, mesh)
+    if cfg.tp > 1:
+        from atq_tpu.parallel.mesh import shard_state_tp
+
+        state = shard_state_tp(
+            state, mesh, cfg.tp,
+            layer_names=("classifier_0", "classifier_3"),
+            param_keys=("atq_params", "quant", "base_params"),
+        )
+    else:
+        state = replicate(state, mesh)
 
     train_step = jax.jit(
         build_train_step(atq_model, base_model, atq_tx, base_tx, cfg),

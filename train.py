@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data-dir", type=str, default="./data")
     parser.add_argument("--dp", type=int, default=None,
                         help="Data-parallel device count (default: all)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="Tensor-parallel size over 'model' "
+                             "(classifier projections sharded)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--subset-fraction", type=float, default=1.0,
                         help="Fraction of the dataset to use (quick runs)")
@@ -74,7 +77,8 @@ def main(argv=None):
         l1_factor=args.l1_factor, use_l1=args.use_l1,
         clip_grad=args.clip_grad, bit_packing=args.bit_packing,
         grad_mode=args.grad_mode, data_dir=args.data_dir, dp=args.dp,
-        seed=args.seed, resume=args.resume, profile_dir=args.profile_dir,
+        tp=args.tp, seed=args.seed, resume=args.resume,
+        profile_dir=args.profile_dir,
     )
     loaders = None
     if args.subset_fraction < 1.0:
