@@ -71,9 +71,43 @@ def _sparse_ell(correction: np.ndarray):
     return out
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _host_cpu():
+    """Context placing export math on the CPU backend: packing is
+    host-side prep, and eager dispatch on a remote TPU backend pays a
+    compile+roundtrip per primitive (minutes for a full model export).
+    Also disables the Pallas gates (they key off the PROCESS backend,
+    which stays 'tpu', but the ops here run on the CPU device)."""
+    import os
+
+    prev = os.environ.get("ATQ_NO_PALLAS")
+    os.environ["ATQ_NO_PALLAS"] = "1"
+    try:
+        try:
+            with jax.default_device(jax.devices("cpu")[0]):
+                yield
+        except RuntimeError:  # no cpu backend registered
+            yield
+    finally:
+        if prev is None:
+            os.environ.pop("ATQ_NO_PALLAS", None)
+        else:
+            os.environ["ATQ_NO_PALLAS"] = prev
+
+
 def pack_quantized_layer(params: Dict, quant: Optional[Dict] = None,
                          sparse_correction: bool = True) -> Dict:
-    """Export one TernaryLinear/RPB layer's params into serving form."""
+    """Export one TernaryLinear/RPB layer's params into serving form.
+    All math runs on the host CPU backend (see :func:`_host_cpu`)."""
+    with _host_cpu():
+        return _pack_quantized_layer(params, quant, sparse_correction)
+
+
+def _pack_quantized_layer(params: Dict, quant: Optional[Dict],
+                          sparse_correction: bool) -> Dict:
     weight = np.asarray(params["weight"])
     alpha = params["alpha"]
     sparsity = (quant or {}).get("sparsity_target", 0.3)
