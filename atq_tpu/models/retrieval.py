@@ -83,6 +83,8 @@ class ATQMultimodalRetrieval(nn.Module):
     use_residual: bool = True
     base_model: str = "resnet18"
     grad_mode: str = "parity"
+    text_moe_experts: int = 0  # >0: ternary-expert MoE FFN in the text
+    # encoder layers (EP capability; 0 = reference-parity dense FFN)
     max_seq_length: int = 50
 
     def setup(self):
@@ -98,6 +100,7 @@ class ATQMultimodalRetrieval(nn.Module):
             num_heads=8, num_layers=4, dim_feedforward=self.hidden_dim,
             use_rpb=self.use_residual, sparsity_target=initial_text,
             max_seq_length=self.max_seq_length, grad_mode=self.grad_mode,
+            moe_experts=self.text_moe_experts,
         )
         self.fusion = MultimodalFusion(
             input_dims={"image": self.embed_dim, "text": self.embed_dim},

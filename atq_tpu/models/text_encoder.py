@@ -63,6 +63,8 @@ class ATQTextEncoder(nn.Module):
     sparsity_target: float = 0.3
     max_seq_length: int = 256
     grad_mode: str = "parity"
+    moe_experts: int = 0  # >0: MoE FFN in every transformer layer
+    # (ternary experts, EP-shardable — nn/transformer.py)
 
     @nn.compact
     def __call__(self, x, src_key_padding_mask=None,
@@ -96,7 +98,8 @@ class ATQTextEncoder(nn.Module):
                 embed_dim=self.embed_dim, num_heads=self.num_heads,
                 dim_feedforward=self.dim_feedforward, dropout=self.dropout,
                 use_rpb=self.use_rpb, sparsity_target=initial_sparsity,
-                layer_idx=i, grad_mode=self.grad_mode, name=f"layers_{i}",
+                layer_idx=i, grad_mode=self.grad_mode,
+                moe_experts=self.moe_experts, name=f"layers_{i}",
             )(h, src_key_padding_mask=src_key_padding_mask,
               deterministic=deterministic)
 

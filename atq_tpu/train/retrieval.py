@@ -115,6 +115,9 @@ class RetrievalConfig:
     device_preprocess: bool = True  # uint8 transfer; normalize/flip on-device
     use_multi_positive: bool = False  # MultiPositiveInfoNCE over the 5
     # captions/image (the reference defines the loss but never wires it)
+    moe_experts: int = 0  # >0: ternary-expert MoE FFN in the text encoder
+    # (EP capability; adds the load-balance aux loss below)
+    moe_aux_weight: float = 0.01
 
 
 def reinit_params(params, rng):
@@ -234,6 +237,10 @@ def build_retrieval_train_step(model, tx, criterion, cl_manager,
                     lambda x: x.astype(jnp.bfloat16)
                     if x.dtype == jnp.float32 else x, p)
                 apply_images = images.astype(jnp.bfloat16)
+            mutable = ["batch_stats"]
+            if cfg.moe_experts > 0:
+                mutable = ["batch_stats", "intermediates"]
+
             def _forward(p_, imgs_, captions_, lengths_, rng_):
                 return model.apply(
                     {"params": p_, "quant": state["quant"],
@@ -241,7 +248,7 @@ def build_retrieval_train_step(model, tx, criterion, cl_manager,
                      "batch_stats": state["batch_stats"]},
                     imgs_, captions_, lengths_, return_embeddings=True,
                     train=True, rngs={"dropout": rng_},
-                    mutable=["batch_stats"],
+                    mutable=mutable,
                 )
 
             if cfg.grad_checkpointing:
@@ -279,6 +286,12 @@ def build_retrieval_train_step(model, tx, criterion, cl_manager,
                                                     curriculum_kind)
                 loss = criterion(img_emb, txt_emb, weights,
                                  temperature=temperature)
+            if cfg.moe_experts > 0:
+                aux_losses = jax.tree_util.tree_leaves(
+                    mutated.get("intermediates", {}))
+                if aux_losses:
+                    loss = loss + cfg.moe_aux_weight * sum(
+                        jnp.mean(a) for a in aux_losses) / len(aux_losses)
             if baseline_embeds is not None:
                 base_img, base_txt = baseline_embeds
                 temp = 3.0
@@ -312,7 +325,7 @@ def build_retrieval_train_step(model, tx, criterion, cl_manager,
             "opt_state": opt_state,
             "batch_stats": mutated["batch_stats"],
             "step": state["step"] + 1,
-        }
+        }  # sown intermediates (moe aux) are consumed in-loss, not kept
         if cfg.use_ema:
             decay = 0.999
             new_state["ema_params"] = jax.tree_util.tree_map(
@@ -446,6 +459,7 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
         hidden_dim=cfg.hidden_dim, vision_threshold=cfg.vision_sparsity,
         text_threshold=cfg.text_sparsity, use_residual=cfg.use_residual,
         grad_mode=cfg.grad_mode, max_seq_length=cfg.max_seq_length,
+        text_moe_experts=cfg.moe_experts,
     )
 
     rng = jax.random.PRNGKey(cfg.seed)

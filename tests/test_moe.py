@@ -182,3 +182,55 @@ def test_sharded_moe_gradients_match_single_device(setup):
         np.testing.assert_allclose(np.asarray(g_sharded[k]),
                                    np.asarray(g_local[k]),
                                    atol=2e-5, err_msg=k)
+
+
+def test_retrieval_model_moe_train_step():
+    """--moe_experts plumbs through ATQTextEncoder into the retrieval
+    train step: forward+backward run, the load-balance aux loss
+    contributes, and the MoE expert planes receive gradient."""
+    from atq_tpu.losses.contrastive import (
+        ContrastiveLearningManager,
+        HardNegativeMiningInfoNCE,
+    )
+    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
+    from atq_tpu.train.retrieval import (
+        RetrievalConfig,
+        build_retrieval_train_step,
+        make_retrieval_optimizer,
+    )
+
+    cfg = RetrievalConfig(batch_size=4, image_size=32, embed_dim=32,
+                          hidden_dim=64, max_seq_length=8,
+                          use_residual=True, moe_experts=4)
+    model = ATQMultimodalRetrieval(vocab_size=40, embed_dim=32,
+                                   hidden_dim=64, use_residual=True,
+                                   max_seq_length=8, text_moe_experts=4)
+    rng = jax.random.PRNGKey(0)
+    v = model.init(rng, jnp.zeros((2, 32, 32, 3)),
+                   jnp.zeros((2, 8), jnp.int32), jnp.asarray([4, 4]))
+    layer0 = v["params"]["text_encoder"]["layers_0"]
+    assert "moe_w1" in layer0 and "linear1" not in layer0
+
+    tx = make_retrieval_optimizer(cfg, 10)
+    crit = HardNegativeMiningInfoNCE(temperature_schedule=False)
+    mgr = ContrastiveLearningManager(criterion=crit)
+    state = {"params": v["params"], "quant": v.get("quant", {}),
+             "constants": v.get("constants", {}),
+             "batch_stats": v.get("batch_stats", {}),
+             "opt_state": tx.init(v["params"]),
+             "step": jnp.asarray(0, jnp.int32)}
+    step = jax.jit(build_retrieval_train_step(model, tx, crit, mgr, cfg))
+    rngd = np.random.RandomState(0)
+    batch = (rngd.randn(4, 32, 32, 3).astype(np.float32),
+             rngd.randint(0, 40, (4, 8)).astype(np.int32),
+             np.full(4, 6, np.int32))
+    new_state = state
+    for _ in range(3):  # step 0 sits in LR warmup (lr == 0)
+        new_state, loss = step(new_state, batch, jnp.float32(0.07),
+                               jnp.int32(0), jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    delta = np.max(np.abs(
+        np.asarray(new_state["params"]["text_encoder"]["layers_0"]
+                   ["moe_gate"])
+        - np.asarray(layer0["moe_gate"])))
+    assert delta > 0, "moe gate did not train"

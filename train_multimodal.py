@@ -97,6 +97,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data_dir", type=str, default="./data/flickr8k")
     parser.add_argument("--dp", type=int, default=None,
                         help="Data-parallel device count (default: all)")
+    parser.add_argument("--moe_experts", type=int, default=0,
+                        help="Ternary-expert MoE FFN in the text encoder "
+                             "(0 = reference-parity dense FFN)")
     parser.add_argument("--tp", type=int, default=1,
                         help="Tensor-parallel size over the 'model' mesh "
                              "axis (FFN out-features sharded; dp*tp must "
