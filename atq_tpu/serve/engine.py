@@ -104,6 +104,10 @@ class BatchServer:
 
     def submit(self, *fields) -> Future:
         """Enqueue one request (each field WITHOUT the batch axis)."""
+        if self._stop.is_set():
+            raise RuntimeError("BatchServer is stopped")
+        if not self._started:
+            self.start()  # lazy start so bare submit()/call() just work
         fields = tuple(np.asarray(f) for f in fields)
         req = _Request(payload=fields)
         if self._bucket_by is not None:

@@ -42,6 +42,9 @@ def build_parser():
                         "the checkpoint when present — train_retrieval "
                         "writes one precisely so later evaluation cannot "
                         "drift under different tokenization.")
+    parser.add_argument("--moe_experts", type=int, default=0,
+                        help="Match a checkpoint trained with "
+                             "--moe_experts N")
     parser.add_argument("--packed", action="store_true",
                         help="serve every quantized layer from exported "
                              "2-bit planes + sparse correction instead of "
@@ -118,6 +121,7 @@ def main(argv=None):
             vocab_size=vocab_size, embed_dim=args.embed_dim,
             hidden_dim=args.hidden_dim, use_residual=args.use_residual,
             max_seq_length=args.max_seq_length,
+            text_moe_experts=args.moe_experts,
         )
         constants = ckpt.get("constants")
         if not constants:

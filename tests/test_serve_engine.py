@@ -137,3 +137,13 @@ def test_concurrent_submitters():
     for wid, out in results.items():
         np.testing.assert_allclose(out, np.full((4,), wid * 3.0))
     assert len(results) == 24
+
+
+def test_lazy_start_and_stopped_rejection():
+    srv = BatchServer(lambda x: x, max_batch=4, max_wait_ms=2)
+    # bare submit auto-starts the collector
+    out = srv.submit(np.ones(2, np.float32)).result(timeout=10)
+    np.testing.assert_allclose(out, np.ones(2))
+    srv.stop()
+    with pytest.raises(RuntimeError):
+        srv.submit(np.ones(2, np.float32))
