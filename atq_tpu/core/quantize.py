@@ -205,6 +205,54 @@ def ternarize_ste(
     return _ste_identity(weights, w_ternary), alpha
 
 
+@jax.custom_vjp
+def _ttq_combine(weights, pos_mask, neg_mask, wp, wn):
+    return pos_mask * wp - neg_mask * wn
+
+
+def _ttq_combine_fwd(weights, pos_mask, neg_mask, wp, wn):
+    return _ttq_combine(weights, pos_mask, neg_mask, wp, wn), (
+        pos_mask, neg_mask, wp, wn)
+
+
+def _ttq_combine_bwd(res, g):
+    pos_mask, neg_mask, wp, wn = res
+    dead = 1.0 - pos_mask - neg_mask
+    # TTQ gradient rule (Zhu et al. 2017, arXiv:1612.01064 §3):
+    # scale gradients: dWp = sum over positive weights of g,
+    # dWn = -sum over negatives of g; latent weights get the scaled STE
+    # (g*Wp on positives, g*Wn on negatives, g in the dead zone).
+    dw = g * (pos_mask * wp + neg_mask * wn + dead)
+    dwp = jnp.sum(g * pos_mask).reshape(wp.shape)
+    dwn = (-jnp.sum(g * neg_mask)).reshape(wn.shape)
+    return dw, jnp.zeros_like(pos_mask), jnp.zeros_like(neg_mask), dwp, dwn
+
+
+_ttq_combine.defvjp(_ttq_combine_fwd, _ttq_combine_bwd)
+
+
+def ternarize_ttq(
+    weights: jax.Array,
+    wp: jax.Array,
+    wn: jax.Array,
+    threshold_factor: float = 0.05,
+    sparsity_target=0.3,
+):
+    """Trained Ternary Quantization (PAPERS.md: Zhu et al., arXiv:1612.01064).
+
+    Same sparsity-targeted threshold selection as the reference quantizer,
+    but with SEPARATE learnable positive/negative scales and the TTQ
+    backward rule: the scales accumulate the gradients of the weights they
+    quantize, and latent weights receive a scale-weighted straight-through
+    gradient. Returns the effective weight ``wp·[w>t] − wn·[w<−t]``
+    (scales folded in — callers must NOT multiply by alpha again).
+    """
+    threshold = ternary_threshold(weights, threshold_factor, sparsity_target)
+    pos = (weights > threshold).astype(weights.dtype)
+    neg = (weights < -threshold).astype(weights.dtype)
+    return _ttq_combine(weights, pos, neg, wp, wn)
+
+
 def ternary_distribution(w_ternary: jax.Array) -> dict:
     """Fractions of {-1, 0, +1} values — used by training-time introspection
     (reference: train.py:273-295 weight-distribution report)."""

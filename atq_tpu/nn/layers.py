@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from atq_tpu.core.quantize import (
     adaptive_ternary_quantization,
     ternarize_ste,
+    ternarize_ttq,
     ternary_threshold,
 )
 from atq_tpu.nn.initializers import bias_uniform_torch, kaiming_uniform_torch
@@ -164,7 +165,20 @@ class TernaryLinear(nn.Module):
         alpha = self.param("alpha", nn.initializers.ones, (1,),
                            self.param_dtype)
 
-        if _use_fused(self.fused, self.dtype):
+        if self.grad_mode == "ttq":
+            # Trained Ternary Quantization (PAPERS.md, arXiv:1612.01064):
+            # separate learnable +/- scales with the TTQ gradient rule.
+            wp = self.param("wp", nn.initializers.ones, (1,),
+                            self.param_dtype)
+            wn = self.param("wn", nn.initializers.ones, (1,),
+                            self.param_dtype)
+            w_eff = ternarize_ttq(weight, wp, wn,
+                                  sparsity_target=DEFAULT_SPARSITY)
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                w_eff = w_eff.astype(self.dtype)
+            y = jnp.matmul(x, w_eff.T)
+        elif _use_fused(self.fused, self.dtype):
             from atq_tpu.ops.fused_linear import fused_quantized_linear
 
             thr = ternary_threshold(weight, sparsity_target=DEFAULT_SPARSITY)
@@ -241,7 +255,19 @@ class ResidualPrecisionBoostLinear(nn.Module):
         )
 
         mask = mask_var.value
-        if _use_fused(self.fused, self.dtype):
+        if self.grad_mode == "ttq":
+            wp = self.param("wp", nn.initializers.ones, (1,),
+                            self.param_dtype)
+            wn = self.param("wn", nn.initializers.ones, (1,),
+                            self.param_dtype)
+            w_t = ternarize_ttq(weight, wp, wn,
+                                sparsity_target=sparsity_var.value)
+            w_mixed = w_t * (1.0 - mask) + weight * mask
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                w_mixed = w_mixed.astype(self.dtype)
+            y = jnp.matmul(x, w_mixed.T)
+        elif _use_fused(self.fused, self.dtype):
             from atq_tpu.ops.fused_linear import fused_quantized_linear
 
             thr = ternary_threshold(

@@ -175,3 +175,65 @@ class TestOrderStatisticSelect:
                                            sparsity_target=0.3))
         want = np.sort(np.abs(w))[int(0.3 * w.size)]
         assert got == want
+
+
+def test_ttq_gradient_rule():
+    """Trained Ternary Quantization (PAPERS.md, arXiv:1612.01064): forward
+    uses the sparsity-targeted threshold with separate +/- scales; the
+    backward rule gives dWp = sum(g[pos]), dWn = -sum(g[neg]), and latent
+    weights a scale-weighted straight-through gradient."""
+    import jax
+    import jax.numpy as jnp
+
+    from atq_tpu.core.quantize import ternarize_ttq, ternary_threshold
+
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(6, 8), jnp.float32)
+    wp = jnp.asarray([1.3], jnp.float32)
+    wn = jnp.asarray([0.7], jnp.float32)
+    g = jnp.asarray(rng.randn(6, 8), jnp.float32)
+
+    thr = ternary_threshold(w, sparsity_target=0.3)
+    pos = np.asarray(w > thr, np.float32)
+    neg = np.asarray(w < -thr, np.float32)
+
+    # forward: wp on positives, -wn on negatives, 0 in the dead zone
+    out = ternarize_ttq(w, wp, wn, sparsity_target=0.3)
+    np.testing.assert_allclose(np.asarray(out),
+                               pos * 1.3 - neg * 0.7, rtol=1e-6)
+
+    def loss(w, wp, wn):
+        return jnp.sum(ternarize_ttq(w, wp, wn, sparsity_target=0.3) * g)
+
+    dw, dwp, dwn = jax.grad(loss, argnums=(0, 1, 2))(w, wp, wn)
+    gn = np.asarray(g)
+    dead = 1.0 - pos - neg
+    np.testing.assert_allclose(np.asarray(dw),
+                               gn * (pos * 1.3 + neg * 0.7 + dead),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(dwp[0]), float((gn * pos).sum()),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(dwn[0]), float(-(gn * neg).sum()),
+                               rtol=1e-5)
+
+
+def test_ttq_layer_trains_all_parts():
+    """grad_mode='ttq' layers declare wp/wn and everything trains (latent
+    weights included — unlike parity mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from atq_tpu.nn.layers import ResidualPrecisionBoostLinear
+
+    layer = ResidualPrecisionBoostLinear(features=16, grad_mode="ttq")
+    x = jnp.asarray(np.random.RandomState(1).randn(4, 12), jnp.float32)
+    v = layer.init(jax.random.PRNGKey(0), x)
+    assert "wp" in v["params"] and "wn" in v["params"]
+
+    def loss(p):
+        return jnp.sum(layer.apply({"params": p, "quant": v["quant"]},
+                                   x) ** 2)
+
+    grads = jax.grad(loss)(v["params"])
+    for k in ("weight", "wp", "wn", "bias"):
+        assert float(jnp.max(jnp.abs(grads[k]))) > 0, k

@@ -48,7 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Analyze bit-packing compression")
     # Framework extensions (not part of the reference surface):
     parser.add_argument("--grad-mode", type=str, default="parity",
-                        choices=["parity", "ste"],
+                        choices=["parity", "ste", "ttq"],
                         help="Quantizer gradient mode (parity = reference "
                              "semantics, ste = straight-through estimator)")
     parser.add_argument("--data-dir", type=str, default="./data")

@@ -93,7 +93,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Use gradient checkpointing to save memory")
     # Framework extensions (not part of the reference surface):
     parser.add_argument("--grad_mode", type=str, default="parity",
-                        choices=["parity", "ste"])
+                        choices=["parity", "ste", "ttq"])
     parser.add_argument("--data_dir", type=str, default="./data/flickr8k")
     parser.add_argument("--dp", type=int, default=None,
                         help="Data-parallel device count (default: all)")
