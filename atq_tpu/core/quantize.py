@@ -218,13 +218,19 @@ def _ttq_combine_fwd(weights, pos_mask, neg_mask, wp, wn):
 def _ttq_combine_bwd(res, g):
     pos_mask, neg_mask, wp, wn = res
     dead = 1.0 - pos_mask - neg_mask
-    # TTQ gradient rule (Zhu et al. 2017, arXiv:1612.01064 §3):
-    # scale gradients: dWp = sum over positive weights of g,
-    # dWn = -sum over negatives of g; latent weights get the scaled STE
-    # (g*Wp on positives, g*Wn on negatives, g in the dead zone).
+    # TTQ gradient rule (Zhu et al. 2017, arXiv:1612.01064 §3): the
+    # scales accumulate their side's gradients, latent weights get the
+    # scale-weighted straight-through gradient. The paper compensates the
+    # scale gradients' O(group size) magnitude with a separate scale
+    # learning rate; here they are MEAN-normalized instead (same effect,
+    # one optimizer) — raw sums over ~1e5-element groups blow past the
+    # weight gradients and destabilize adam within an epoch (measured:
+    # immediate collapse to chance on the classification recipe).
     dw = g * (pos_mask * wp + neg_mask * wn + dead)
-    dwp = jnp.sum(g * pos_mask).reshape(wp.shape)
-    dwn = (-jnp.sum(g * neg_mask)).reshape(wn.shape)
+    n_pos = jnp.maximum(jnp.sum(pos_mask), 1.0)
+    n_neg = jnp.maximum(jnp.sum(neg_mask), 1.0)
+    dwp = (jnp.sum(g * pos_mask) / n_pos).reshape(wp.shape)
+    dwn = (-jnp.sum(g * neg_mask) / n_neg).reshape(wn.shape)
     return dw, jnp.zeros_like(pos_mask), jnp.zeros_like(neg_mask), dwp, dwn
 
 

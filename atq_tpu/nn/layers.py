@@ -124,6 +124,21 @@ def _quantize(weight, alpha, sparsity_target, grad_mode: str):
 
 
 
+def _ttq_scale_init(weight, sparsity_target, positive: bool, dtype):
+    """Data-dependent init for the TTQ scales: the mean |w| of the side
+    the scale will quantize (the paper initializes scales from the data;
+    starting at 1.0 inflates outputs ~50x versus the optimal alpha and
+    saturates downstream softmaxes — measured: training frozen at chance).
+    """
+    def init(_key, shape):
+        thr = ternary_threshold(weight, sparsity_target=sparsity_target)
+        m = (weight > thr) if positive else (weight < -thr)
+        s = jnp.sum(jnp.abs(weight) * m) / jnp.maximum(jnp.sum(m), 1.0)
+        return jnp.full(shape, s, dtype)
+
+    return init
+
+
 def _packed_forward(entry, x, features: int):
     """Serve this layer from its exported 2-bit planes (the 'packed'
     variable collection, serve/packed_model.py:export_packed_collection).
@@ -168,10 +183,12 @@ class TernaryLinear(nn.Module):
         if self.grad_mode == "ttq":
             # Trained Ternary Quantization (PAPERS.md, arXiv:1612.01064):
             # separate learnable +/- scales with the TTQ gradient rule.
-            wp = self.param("wp", nn.initializers.ones, (1,),
-                            self.param_dtype)
-            wn = self.param("wn", nn.initializers.ones, (1,),
-                            self.param_dtype)
+            wp = self.param(
+                "wp", _ttq_scale_init(weight, DEFAULT_SPARSITY, True,
+                                      self.param_dtype), (1,))
+            wn = self.param(
+                "wn", _ttq_scale_init(weight, DEFAULT_SPARSITY, False,
+                                      self.param_dtype), (1,))
             w_eff = ternarize_ttq(weight, wp, wn,
                                   sparsity_target=DEFAULT_SPARSITY)
             if self.dtype is not None:
@@ -256,10 +273,12 @@ class ResidualPrecisionBoostLinear(nn.Module):
 
         mask = mask_var.value
         if self.grad_mode == "ttq":
-            wp = self.param("wp", nn.initializers.ones, (1,),
-                            self.param_dtype)
-            wn = self.param("wn", nn.initializers.ones, (1,),
-                            self.param_dtype)
+            wp = self.param(
+                "wp", _ttq_scale_init(weight, self.sparsity_target, True,
+                                      self.param_dtype), (1,))
+            wn = self.param(
+                "wn", _ttq_scale_init(weight, self.sparsity_target, False,
+                                      self.param_dtype), (1,))
             w_t = ternarize_ttq(weight, wp, wn,
                                 sparsity_target=sparsity_var.value)
             w_mixed = w_t * (1.0 - mask) + weight * mask

@@ -180,7 +180,8 @@ class TestOrderStatisticSelect:
 def test_ttq_gradient_rule():
     """Trained Ternary Quantization (PAPERS.md, arXiv:1612.01064): forward
     uses the sparsity-targeted threshold with separate +/- scales; the
-    backward rule gives dWp = sum(g[pos]), dWn = -sum(g[neg]), and latent
+    backward rule gives dWp = mean(g[pos]), dWn = -mean(g[neg]) (mean-
+    normalized per the one-optimizer variant), and latent
     weights a scale-weighted straight-through gradient."""
     import jax
     import jax.numpy as jnp
@@ -211,10 +212,12 @@ def test_ttq_gradient_rule():
     np.testing.assert_allclose(np.asarray(dw),
                                gn * (pos * 1.3 + neg * 0.7 + dead),
                                rtol=1e-6)
-    np.testing.assert_allclose(float(dwp[0]), float((gn * pos).sum()),
-                               rtol=1e-5)
-    np.testing.assert_allclose(float(dwn[0]), float(-(gn * neg).sum()),
-                               rtol=1e-5)
+    np.testing.assert_allclose(
+        float(dwp[0]), float((gn * pos).sum() / max(pos.sum(), 1)),
+        rtol=1e-5)
+    np.testing.assert_allclose(
+        float(dwn[0]), float(-(gn * neg).sum() / max(neg.sum(), 1)),
+        rtol=1e-5)
 
 
 def test_ttq_layer_trains_all_parts():
