@@ -261,6 +261,11 @@ def export_packed_collection(params: Dict, quant: Optional[Dict] = None,
     def walk(p_node, q_node):
         if not isinstance(p_node, dict):
             return None
+        if "wp" in p_node and "weight" in p_node:
+            # TTQ layers (grad_mode='ttq') carry asymmetric +/- scales;
+            # the single-alpha plane format cannot represent them — serve
+            # those layers dense (skip) rather than mis-serve.
+            return None
         if ("weight" in p_node and "alpha" in p_node
                 and getattr(p_node["weight"], "ndim", 0) == 2):
             return {"entry": pack_quantized_layer(
