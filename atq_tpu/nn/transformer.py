@@ -64,7 +64,7 @@ class TernaryTransformerLayer(nn.Module):
         # Feed-forward block (pre-norm), GELU exact like torch F.gelu.
         src2 = _norm(name="norm2")(src)
         if self.moe_experts > 0:
-            src2 = self._moe_ffn(src2)
+            src2 = self._moe_ffn(src2, src_key_padding_mask)
         else:
             h = _proj(self.use_rpb, self.dim_feedforward, precision_ratio,
                       initial_sparsity, "linear1", self.grad_mode)(src2)
@@ -78,10 +78,16 @@ class TernaryTransformerLayer(nn.Module):
         ) * gate_value
         return src
 
-    def _moe_ffn(self, x):
-        """Ternary-expert MoE FFN over flattened (B·L, D) tokens."""
+    def _moe_ffn(self, x, key_padding_mask=None):
+        """Ternary-expert MoE FFN over flattened (B·L, D) tokens.
+
+        Padding tokens (key_padding_mask True, or beyond a lengths
+        vector) are excluded from routing: they consume no expert
+        capacity and don't skew the load-balance aux loss.
+        """
         import math
 
+        from atq_tpu.nn.attention import lengths_to_padding_mask
         from atq_tpu.parallel.moe import moe_ffn
 
         b, l, d = x.shape
@@ -99,8 +105,15 @@ class TernaryTransformerLayer(nn.Module):
         }
         tokens = b * l
         capacity = max(1, math.ceil(tokens / e * self.moe_capacity_factor))
+        token_mask = None
+        if key_padding_mask is not None:
+            pad = jnp.asarray(key_padding_mask)
+            if pad.ndim == 1:  # lengths vector, like the attention path
+                pad = lengths_to_padding_mask(pad, l)
+            token_mask = jnp.logical_not(pad.astype(bool)).reshape(tokens)
         y, aux = moe_ffn(x.reshape(tokens, d), params, capacity=capacity,
                          ternary=True,
-                         sparsity_target=self.sparsity_target)
+                         sparsity_target=self.sparsity_target,
+                         token_mask=token_mask)
         self.sow("intermediates", "moe_aux_loss", aux["aux_loss"])
         return y.reshape(b, l, d)

@@ -66,18 +66,25 @@ def pallas_eligible(x_shape, w_shape) -> bool:
     return k == k2 and k >= 128 and n >= 8 and m >= 1
 
 
-def _kernel(x_ref, wp_ref, alpha_ref, out_ref, *, kq: int):
+def _kernel(x_ref, wp_ref, alpha_ref, out_ref, *, kq: int,
+            asym: bool = False):
     packed_i32 = wp_ref[:].astype(jnp.int32)  # (TILE_N, kq)
     acc = jnp.zeros((x_ref.shape[0], wp_ref.shape[0]), jnp.float32)
     for s in range(4):
         w_s = ((packed_i32 >> (2 * s)) & 0x3).astype(jnp.float32) - 1.0
+        if asym:
+            # TTQ asymmetric scales: +1 -> alpha_p, -1 -> -alpha_n
+            # (wp·[w>t] − wn·[w<−t]); pre-scaled on the VPU so the MXU
+            # dot count is unchanged.
+            w_s = (alpha_ref[0] * jnp.maximum(w_s, 0.0)
+                   + alpha_ref[1] * jnp.minimum(w_s, 0.0))
         x_s = x_ref[:, s * kq:(s + 1) * kq]
         acc = acc + jax.lax.dot_general(
             x_s, w_s,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    out_ref[:] = acc * alpha_ref[0]
+    out_ref[:] = acc if asym else acc * alpha_ref[0]
 
 
 def _kernel_rpb(x_ref, wp_ref, corr_ref, alpha_ref, out_ref, *, kq: int,
@@ -180,7 +187,8 @@ _VMEM_X_BUDGET = 4 * 1024 * 1024
 _K_SLAB = 2048  # columns per K-grid step (quarter-aligned: _K_SLAB % 4 == 0)
 
 
-def _kernel_kblocked(x_ref, wp_ref, alpha_ref, out_ref, *, slabs_per_q: int):
+def _kernel_kblocked(x_ref, wp_ref, alpha_ref, out_ref, *,
+                     slabs_per_q: int, asym: bool = False):
     """Grid (M, N, 4*slabs_per_q): the third dimension walks quarter s
     (bit-field) major, byte-slab minor. Each step decodes ONE field of one
     byte slab and accumulates a (tile_m, tile_n) partial dot into out_ref
@@ -189,6 +197,9 @@ def _kernel_kblocked(x_ref, wp_ref, alpha_ref, out_ref, *, slabs_per_q: int):
     s = t // slabs_per_q  # which 2-bit field
     packed_i32 = wp_ref[:].astype(jnp.int32)
     w_s = ((packed_i32 >> (2 * s)) & 0x3).astype(jnp.float32) - 1.0
+    if asym:  # TTQ scales folded into the decode (see _kernel)
+        w_s = (alpha_ref[0] * jnp.maximum(w_s, 0.0)
+               + alpha_ref[1] * jnp.minimum(w_s, 0.0))
     partial = jax.lax.dot_general(
         x_ref[:], w_s,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -201,13 +212,24 @@ def _kernel_kblocked(x_ref, wp_ref, alpha_ref, out_ref, *, slabs_per_q: int):
 
     out_ref[:] = out_ref[:] + partial
 
-    @pl.when(t == pl.num_programs(2) - 1)
-    def _():
-        out_ref[:] = out_ref[:] * alpha_ref[0]
+    if not asym:
+        @pl.when(t == pl.num_programs(2) - 1)
+        def _():
+            out_ref[:] = out_ref[:] * alpha_ref[0]
 
 
-@functools.partial(jax.jit, static_argnames=("w_shape",))
-def _pallas_matmul_kblocked(x, w_packed_planar, w_shape, alpha):
+def _alpha_vec(alpha, alpha_neg):
+    """SMEM scale vector: [alpha, alpha] symmetric, [alpha_p, alpha_n]
+    asymmetric (TTQ)."""
+    a = jnp.asarray(alpha, jnp.float32).reshape(())
+    b = (a if alpha_neg is None
+         else jnp.asarray(alpha_neg, jnp.float32).reshape(()))
+    return jnp.stack([a, b])
+
+
+@functools.partial(jax.jit, static_argnames=("w_shape", "asym"))
+def _pallas_matmul_kblocked(x, w_packed_planar, w_shape, alpha,
+                            asym: bool = False):
     from jax.experimental.pallas import tpu as pltpu
 
     n, k = w_shape
@@ -239,7 +261,8 @@ def _pallas_matmul_kblocked(x, w_packed_planar, w_shape, alpha):
 
     grid = (mp // tile_m, np_ // _TILE_N, 4 * slabs_per_q)
     out = pl.pallas_call(
-        functools.partial(_kernel_kblocked, slabs_per_q=slabs_per_q),
+        functools.partial(_kernel_kblocked, slabs_per_q=slabs_per_q,
+                          asym=asym),
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
         grid=grid,
         in_specs=[
@@ -264,12 +287,12 @@ def _pallas_matmul_kblocked(x, w_packed_planar, w_shape, alpha):
             transcendentals=0,
         ),
     )(x.astype(jnp.float32), w_packed_planar,
-      jnp.asarray(alpha, jnp.float32).reshape(1))
+      jnp.asarray(alpha, jnp.float32).reshape(-1))
     return out[:m, :n]
 
 
-@functools.partial(jax.jit, static_argnames=("w_shape",))
-def _pallas_matmul(x, w_packed_planar, w_shape, alpha):
+@functools.partial(jax.jit, static_argnames=("w_shape", "asym"))
+def _pallas_matmul(x, w_packed_planar, w_shape, alpha, asym: bool = False):
     from jax.experimental.pallas import tpu as pltpu
 
     n, k = w_shape
@@ -295,7 +318,7 @@ def _pallas_matmul(x, w_packed_planar, w_shape, alpha):
 
     grid = (mp // tile_m, np_ // _TILE_N)
     out = pl.pallas_call(
-        functools.partial(_kernel, kq=kq),
+        functools.partial(_kernel, kq=kq, asym=asym),
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
         grid=grid,
         in_specs=[
@@ -313,12 +336,12 @@ def _pallas_matmul(x, w_packed_planar, w_shape, alpha):
             transcendentals=0,
         ),
     )(x.astype(jnp.float32), w_packed_planar,
-      jnp.asarray(alpha, jnp.float32).reshape(1))
+      jnp.asarray(alpha, jnp.float32).reshape(-1))
     return out[:m, :n]
 
 
 def packed_ternary_matmul(x, w_packed, w_shape, alpha=1.0,
-                          layout: str = "planar"):
+                          layout: str = "planar", alpha_neg=None):
     """``x @ unpack(W)^T * alpha`` from packed ternary planes.
 
     Args:
@@ -328,12 +351,17 @@ def packed_ternary_matmul(x, w_packed, w_shape, alpha=1.0,
             ceil(K/4)) row-interleaved (pack_rows), or a flat
             reference-format array.
         w_shape: static (N, K) logical weight shape.
-        alpha: scalar scale.
+        alpha: scalar scale (the TTQ positive scale when ``alpha_neg``
+            is given).
         layout: 'planar' | 'rows' | 'flat'.
+        alpha_neg: optional TTQ negative scale — computes the asymmetric
+            ``x @ (alpha·[w=+1] − alpha_neg·[w=−1])^T`` (core/quantize.py
+            ternarize_ttq semantics) from the SAME 2-bit planes.
     """
     n, k = w_shape
     x = jnp.asarray(x)
     w_packed = jnp.asarray(w_packed)
+    asym = alpha_neg is not None
 
     if layout == "flat":
         if k % 4 != 0:
@@ -346,7 +374,7 @@ def packed_ternary_matmul(x, w_packed, w_shape, alpha=1.0,
             w = (vals.reshape(-1)[: n * k].astype(x.dtype) - 1.0).reshape(
                 n, k
             )
-            return (jnp.matmul(x, w.T) * alpha).astype(x.dtype)
+            return _scaled_matmul(x, w, alpha, alpha_neg)
         w_packed = w_packed.reshape(n, k // 4)
         layout = "rows"
 
@@ -354,15 +382,27 @@ def packed_ternary_matmul(x, w_packed, w_shape, alpha=1.0,
         if layout == "rows":
             # Interleaved -> planar conversion (XLA elementwise, on-device).
             w_packed = pack_planar(unpack_rows(w_packed, k))
+        avec = _alpha_vec(alpha, alpha_neg)
         k_padded = k + ((-k) % _K_ALIGN)
         tile_m = min(_TILE_M, max(8, ((x.shape[0] + 7) // 8) * 8))
         if tile_m * k_padded * 4 > _VMEM_X_BUDGET:
-            return _pallas_matmul_kblocked(x, w_packed, (n, k),
-                                           alpha).astype(x.dtype)
-        return _pallas_matmul(x, w_packed, (n, k), alpha).astype(x.dtype)
+            return _pallas_matmul_kblocked(x, w_packed, (n, k), avec,
+                                           asym=asym).astype(x.dtype)
+        return _pallas_matmul(x, w_packed, (n, k), avec,
+                              asym=asym).astype(x.dtype)
 
     if layout == "planar":
         w = unpack_planar(w_packed, k, dtype=x.dtype)
     else:
         w = unpack_rows(w_packed, k, dtype=x.dtype)
-    return jnp.matmul(x, w.T) * jnp.asarray(alpha, x.dtype)
+    return _scaled_matmul(x, w, alpha, alpha_neg)
+
+
+def _scaled_matmul(x, w, alpha, alpha_neg):
+    """XLA fallback matmul over a decoded ±1/0 plane, symmetric or TTQ."""
+    if alpha_neg is None:
+        return jnp.matmul(x, w.T) * jnp.asarray(alpha, x.dtype)
+    ap = jnp.asarray(alpha, x.dtype)
+    an = jnp.asarray(alpha_neg, x.dtype)
+    w_eff = ap * jnp.maximum(w, 0) + an * jnp.minimum(w, 0)
+    return jnp.matmul(x, w_eff.T)

@@ -71,13 +71,18 @@ def _ternarize_expert_planes(w, sparsity_target: float):
     return jax.vmap(one)(w)
 
 
-def top1_dispatch(x, gate_w, n_experts: int, capacity: int):
+def top1_dispatch(x, gate_w, n_experts: int, capacity: int,
+                  token_mask=None):
     """Top-1 routing tensors for a token shard.
 
     Args:
         x: (T, D) tokens.
         gate_w: (D, E) gate.
         capacity: max tokens per expert for THIS shard.
+        token_mask: optional (T,) bool, True = real token. Masked-out
+            (padding) tokens are excluded from routing entirely: they
+            consume no expert capacity, contribute nothing to the
+            load-balance stats, and their combine weight is zero.
 
     Returns:
         dispatch: (T, E, C) one-hot token→slot routing.
@@ -88,34 +93,49 @@ def top1_dispatch(x, gate_w, n_experts: int, capacity: int):
     logits = x @ gate_w                              # (T, E)
     probs = jax.nn.softmax(logits, axis=-1)
     expert = jnp.argmax(probs, axis=-1)              # (T,)
-    onehot = jax.nn.one_hot(expert, n_experts, dtype=x.dtype)  # (T, E)
+    # Slot accounting in int32 regardless of x.dtype: under bf16 AMP a
+    # cumsum in x.dtype is inexact past 256, so with >256 tokens routed
+    # to one expert slot positions would collide and two tokens' inputs
+    # would silently sum into one expert slot.
+    onehot_i = jax.nn.one_hot(expert, n_experts, dtype=jnp.int32)  # (T, E)
+    if token_mask is not None:
+        onehot_i = onehot_i * token_mask.astype(jnp.int32)[:, None]
+    onehot = onehot_i.astype(x.dtype)
     gate = jnp.sum(probs * onehot, axis=-1)          # (T,)
 
     # Slot assignment: position of each token within its expert's queue.
-    position = jnp.cumsum(onehot, axis=0) * onehot - onehot  # (T, E), 0-based
-    pos = jnp.sum(position, axis=-1)                 # (T,)
+    position = jnp.cumsum(onehot_i, axis=0) * onehot_i - onehot_i  # 0-based
+    pos = jnp.sum(position, axis=-1)                 # (T,) int32
     keep = pos < capacity
     slot = jax.nn.one_hot(
-        jnp.where(keep, pos, capacity).astype(jnp.int32), capacity,
+        jnp.where(keep, pos, capacity), capacity,
         dtype=x.dtype)                               # (T, C); overflow → 0s
     dispatch = onehot[:, :, None] * slot[:, None, :] * keep[:, None, None]
     combine = dispatch * gate[:, None, None]
 
-    frac = jnp.mean(onehot, axis=0)                  # (E,)
-    aux_loss = jnp.mean(frac * jnp.mean(probs, axis=0)) * n_experts ** 2
+    probs_f = probs.astype(jnp.float32)
+    if token_mask is None:
+        n_valid = jnp.float32(onehot_i.shape[0])
+    else:
+        probs_f = probs_f * token_mask.astype(jnp.float32)[:, None]
+        n_valid = jnp.maximum(
+            jnp.sum(token_mask.astype(jnp.float32)), 1.0)
+    frac = jnp.sum(onehot_i, axis=0).astype(jnp.float32) / n_valid  # (E,)
+    aux_loss = jnp.mean(
+        frac * (jnp.sum(probs_f, axis=0) / n_valid)) * n_experts ** 2
     return dispatch, combine, {"expert_fraction": frac,
                                "aux_loss": aux_loss}
 
 
 def moe_ffn(x, params, capacity: int, ternary: bool = False,
-            sparsity_target: float = 0.3):
+            sparsity_target: float = 0.3, token_mask=None):
     """Single-device MoE FFN: route → per-expert GELU FFN → combine.
 
     Returns (y, aux). ``y`` excludes the residual — callers add ``x``.
     """
     n_experts = params["gate"].shape[-1]
     dispatch, combine, aux = top1_dispatch(x, params["gate"], n_experts,
-                                           capacity)
+                                           capacity, token_mask=token_mask)
     w1, w2 = params["w1"], params["w2"]
     if ternary:
         w1 = _ternarize_expert_planes(w1, sparsity_target)
@@ -129,7 +149,7 @@ def moe_ffn(x, params, capacity: int, ternary: bool = False,
 
 def moe_ffn_sharded(x, params, mesh: Mesh, capacity: int,
                     axis: str = "expert", ternary: bool = False,
-                    sparsity_target: float = 0.3):
+                    sparsity_target: float = 0.3, token_mask=None):
     """Expert-parallel MoE FFN over ``mesh[axis]``.
 
     ``x`` (T, D) is sharded over the axis (T % n == 0); the expert planes
@@ -144,9 +164,12 @@ def moe_ffn_sharded(x, params, mesh: Mesh, capacity: int,
         raise ValueError(f"n_experts={n_experts} not divisible by "
                          f"mesh axis '{axis}' size {n}")
 
-    def local(x_l, gate_w, w1_l, w2_l):
+    if token_mask is None:
+        token_mask = jnp.ones((x.shape[0],), jnp.bool_)
+
+    def local(x_l, gate_w, w1_l, w2_l, mask_l):
         dispatch, combine, aux = top1_dispatch(x_l, gate_w, n_experts,
-                                               capacity)
+                                               capacity, token_mask=mask_l)
         if ternary:
             w1q = _ternarize_expert_planes(w1_l, sparsity_target)
             w2q = _ternarize_expert_planes(w2_l, sparsity_target)
@@ -171,7 +194,7 @@ def moe_ffn_sharded(x, params, mesh: Mesh, capacity: int,
 
     return shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis), P(), P(axis), P(axis)),
+        in_specs=(P(axis), P(), P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P()),
         check_vma=False,
-    )(x, params["gate"], params["w1"], params["w2"])
+    )(x, params["gate"], params["w1"], params["w2"], token_mask)

@@ -24,12 +24,14 @@ or a plain jitted model apply.
 
 from __future__ import annotations
 
+import itertools
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from queue import Empty, Queue
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -57,6 +59,7 @@ class _Request:
     payload: tuple
     future: Future = field(default_factory=Future)
     bucket: Optional[int] = None
+    seq: int = 0  # arrival order, for oldest-first bucket scheduling
 
 
 class BatchServer:
@@ -89,6 +92,12 @@ class BatchServer:
         self._buckets = tuple(sorted(buckets))
         self._pad_value = pad_value
         self._queue: Queue = Queue()
+        # Collector-thread-only: requests popped from the shared queue
+        # whose bucket didn't match the batch being formed. Served
+        # oldest-bucket-first BEFORE the shared queue, so a minority
+        # bucket can never be starved behind newer arrivals.
+        self._pending: Dict[Optional[int], deque] = {}
+        self._seq = itertools.count()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._started = False
@@ -109,7 +118,7 @@ class BatchServer:
         if not self._started:
             self.start()  # lazy start so bare submit()/call() just work
         fields = tuple(np.asarray(f) for f in fields)
-        req = _Request(payload=fields)
+        req = _Request(payload=fields, seq=next(self._seq))
         if self._bucket_by is not None:
             n = fields[self._bucket_by].shape[0]
             req.bucket = pick_bucket(self._buckets, n)
@@ -133,16 +142,37 @@ class BatchServer:
 
     # -- collector -------------------------------------------------------
 
+    def _pop_oldest_pending(self) -> Optional[_Request]:
+        """Head of the pending deque whose front request arrived first."""
+        oldest_key = None
+        for key, pend in self._pending.items():
+            if pend and (oldest_key is None
+                         or pend[0].seq < self._pending[oldest_key][0].seq):
+                oldest_key = key
+        if oldest_key is None:
+            return None
+        return self._pending[oldest_key].popleft()
+
     def _take_batch(self) -> List[_Request]:
-        """Block for the first request, then collect compatible ones until
-        max_batch or max_wait elapses. Requests from other buckets are
-        deferred, preserving order."""
-        try:
-            first = self._queue.get(timeout=0.1)
-        except Empty:
-            return []
+        """Form one batch, deferred-pending buckets first.
+
+        Deferred requests (popped from the shared queue while a different
+        bucket's batch was forming) sit in per-bucket deques and are
+        consumed BEFORE the shared queue — oldest bucket first — so under
+        sustained traffic in one bucket another bucket's requests wait at
+        most one dispatch cycle, never behind newer arrivals.
+        """
+        first = self._pop_oldest_pending()
+        if first is None:
+            try:
+                first = self._queue.get(timeout=0.1)
+            except Empty:
+                return []
         batch = [first]
-        deferred: List[_Request] = []
+        # Same-bucket deferred requests join immediately (no wait).
+        pend = self._pending.get(first.bucket)
+        while pend and len(batch) < self._max_batch:
+            batch.append(pend.popleft())
         deadline = time.monotonic() + self._max_wait
         while len(batch) < self._max_batch:
             remaining = deadline - time.monotonic()
@@ -155,9 +185,7 @@ class BatchServer:
             if req.bucket == first.bucket:
                 batch.append(req)
             else:
-                deferred.append(req)
-        for req in deferred:
-            self._queue.put(req)
+                self._pending.setdefault(req.bucket, deque()).append(req)
         return batch
 
     def _run(self) -> None:

@@ -85,12 +85,20 @@ def _host_cpu():
 
     prev = os.environ.get("ATQ_NO_PALLAS")
     os.environ["ATQ_NO_PALLAS"] = "1"
+    # Probe for the CPU backend OUTSIDE the yield: wrapping the yield in
+    # try/except would swallow RuntimeErrors raised by the caller's body
+    # (they propagate into the generator at the yield point) and then
+    # trip contextlib's "generator didn't stop after throw()".
     try:
-        try:
-            with jax.default_device(jax.devices("cpu")[0]):
-                yield
-        except RuntimeError:  # no cpu backend registered
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:  # no cpu backend registered
+        cpu = None
+    try:
+        if cpu is None:
             yield
+        else:
+            with jax.default_device(cpu):
+                yield
     finally:
         if prev is None:
             os.environ.pop("ATQ_NO_PALLAS", None)
@@ -111,6 +119,7 @@ def _pack_quantized_layer(params: Dict, quant: Optional[Dict],
     weight = np.asarray(params["weight"])
     alpha = params["alpha"]
     sparsity = (quant or {}).get("sparsity_target", 0.3)
+    is_ttq = "wp" in params and "wn" in params
     w_t, a = adaptive_ternary_quantization(
         jnp.asarray(weight), alpha=jnp.asarray(alpha),
         sparsity_target=sparsity,
@@ -121,13 +130,27 @@ def _pack_quantized_layer(params: Dict, quant: Optional[Dict],
         "alpha": jnp.asarray(a).reshape(()),
         "shape": tuple(weight.shape),
     }
+    if is_ttq:
+        # TTQ layers carry asymmetric scales (nn/layers.py grad_mode='ttq',
+        # effective weight wp·[w>t] − wn·[w<−t]): the ternary PATTERN is
+        # the same threshold rule the symmetric quantizer uses, so the
+        # planes above are reused; the kernel applies the two scales at
+        # decode (ops/ternary_matmul.py alpha_neg).
+        entry["alpha"] = jnp.asarray(params["wp"], jnp.float32).reshape(())
+        entry["alpha_neg"] = jnp.asarray(params["wn"],
+                                         jnp.float32).reshape(())
     if "bias" in params:
         entry["bias"] = jnp.asarray(params["bias"])
     mask = (quant or {}).get("precision_mask")
     if mask is not None:
-        correction = np.asarray(mask) * (
-            weight - np.asarray(w_t) * float(jnp.asarray(a).reshape(()))
-        )
+        w_t_np = np.asarray(w_t)
+        if is_ttq:
+            wp = float(entry["alpha"])
+            wn = float(entry["alpha_neg"])
+            w_q = wp * np.maximum(w_t_np, 0.0) + wn * np.minimum(w_t_np, 0.0)
+        else:
+            w_q = w_t_np * float(jnp.asarray(a).reshape(()))
+        correction = np.asarray(mask) * (weight - w_q)
         # bf16-round the stored values so sparse and dense paths serve the
         # exact same numbers.
         correction = np.asarray(
@@ -149,7 +172,8 @@ def packed_linear_apply(entry: Dict, x: jax.Array) -> jax.Array:
     correction entries instead run ONE fused Pallas kernel (ternary dots +
     correction dot accumulate in the same VMEM tile)."""
     n, k = entry["shape"]
-    if "correction" in entry:
+    alpha_neg = entry.get("alpha_neg")  # TTQ asymmetric scale, else None
+    if "correction" in entry and alpha_neg is None:
         from atq_tpu.ops.ternary_matmul import packed_ternary_matmul_rpb
 
         y = packed_ternary_matmul_rpb(x, entry["packed"],
@@ -157,7 +181,12 @@ def packed_linear_apply(entry: Dict, x: jax.Array) -> jax.Array:
                                       alpha=entry["alpha"])
     else:
         y = packed_ternary_matmul(x, entry["packed"], (n, k),
-                                  alpha=entry["alpha"])
+                                  alpha=entry["alpha"],
+                                  alpha_neg=alpha_neg)
+        if "correction" in entry:  # dense correction on a TTQ entry
+            y = y + jnp.matmul(x.astype(jnp.float32),
+                               entry["correction"].astype(jnp.float32).T
+                               ).astype(y.dtype)
         if "corr_idx" in entry:
             gathered = jnp.take(x, entry["corr_idx"].astype(jnp.int32),
                                 axis=-1)  # (m, N, C)
@@ -260,11 +289,6 @@ def export_packed_collection(params: Dict, quant: Optional[Dict] = None,
 
     def walk(p_node, q_node):
         if not isinstance(p_node, dict):
-            return None
-        if "wp" in p_node and "weight" in p_node:
-            # TTQ layers (grad_mode='ttq') carry asymmetric +/- scales;
-            # the single-alpha plane format cannot represent them — serve
-            # those layers dense (skip) rather than mis-serve.
             return None
         if ("weight" in p_node and "alpha" in p_node
                 and getattr(p_node["weight"], "ndim", 0) == 2):

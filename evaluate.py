@@ -45,6 +45,14 @@ def build_parser():
     parser.add_argument("--moe_experts", type=int, default=0,
                         help="Match a checkpoint trained with "
                              "--moe_experts N")
+    parser.add_argument("--grad-mode", "--grad_mode", dest="grad_mode",
+                        type=str, default="auto",
+                        choices=["auto", "parity", "ste", "ttq"],
+                        help="gradient mode the checkpoint was trained "
+                        "with. 'auto' (default) detects TTQ checkpoints "
+                        "by their per-layer wp/wn scales; evaluating a "
+                        "TTQ checkpoint with a non-ttq forward would "
+                        "silently use the untrained alpha")
     parser.add_argument("--packed", action="store_true",
                         help="serve every quantized layer from exported "
                              "2-bit planes + sparse correction instead of "
@@ -54,6 +62,38 @@ def build_parser():
     return parser
 
 
+def _params_have_ttq_scales(params) -> bool:
+    """True if any layer carries TTQ's asymmetric wp/wn scale params."""
+    if isinstance(params, dict):
+        if "wp" in params and "wn" in params:
+            return True
+        return any(_params_have_ttq_scales(v) for v in params.values())
+    return False
+
+
+def resolve_grad_mode(requested: str, params) -> str:
+    """Resolve --grad-mode against what the checkpoint actually contains.
+
+    A TTQ checkpoint (params contain per-layer wp/wn) evaluated with the
+    parity/ste forward would silently use the untrained alpha — layer
+    outputs diverge with no error — so mismatches are fatal, not warnings.
+    """
+    has_ttq = _params_have_ttq_scales(params)
+    if requested == "auto":
+        return "ttq" if has_ttq else "parity"
+    if has_ttq and requested != "ttq":
+        raise SystemExit(
+            f"checkpoint contains TTQ wp/wn scales but --grad-mode="
+            f"{requested} was requested; evaluating it without "
+            f"grad_mode='ttq' would silently use the untrained alpha. "
+            f"Pass --grad-mode ttq (or auto).")
+    if not has_ttq and requested == "ttq":
+        raise SystemExit(
+            "--grad-mode ttq requested but the checkpoint has no wp/wn "
+            "scales; it was not trained with TTQ.")
+    return requested
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import jax
@@ -61,6 +101,7 @@ def main(argv=None):
     from atq_tpu.train.classifier import load_checkpoint
 
     ckpt = load_checkpoint(args.checkpoint)
+    grad_mode = resolve_grad_mode(args.grad_mode, ckpt.get("params", {}))
 
     if args.task == "classification":
         from atq_tpu.data.mnist import (
@@ -80,6 +121,7 @@ def main(argv=None):
         model = ATQImageClassifier(
             use_rpb=args.use_rpb,
             hidden_size=256 if args.wider_layers else 128,
+            grad_mode=grad_mode,
         )
         state = {
             "atq_params": ckpt["params"],
@@ -122,6 +164,7 @@ def main(argv=None):
             hidden_dim=args.hidden_dim, use_residual=args.use_residual,
             max_seq_length=args.max_seq_length,
             text_moe_experts=args.moe_experts,
+            grad_mode=grad_mode,
         )
         constants = ckpt.get("constants")
         if not constants:

@@ -1,5 +1,7 @@
 """Packed serving path: logits must match the training-mode (eval) model."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -11,6 +13,9 @@ from atq_tpu.serve.packed_model import (
     packed_linear_apply,
 )
 from atq_tpu.nn.layers import ResidualPrecisionBoostLinear
+
+pytestmark = pytest.mark.slow  # model-compile-heavy; excluded from the fast gate
+
 
 
 def test_packed_layer_matches_rpb_forward():
@@ -169,3 +174,65 @@ def test_packed_collection_matches_packed_classifier():
     np.testing.assert_allclose(np.asarray(generic),
                                np.asarray(served(x)), rtol=1e-4,
                                atol=1e-3)
+
+
+def test_ttq_layer_packed_serving_matches_dense():
+    """TTQ layers (asymmetric wp/wn scales) must serve from the SAME 2-bit
+    planes via the kernel's alpha_neg decode — previously they were
+    skipped by export and silently mis-served with the untrained alpha."""
+    from atq_tpu.nn.layers import TernaryLinear
+
+    x = jnp.asarray(np.random.RandomState(2).randn(4, 64).astype(np.float32))
+    layer = TernaryLinear(features=32, grad_mode="ttq")
+    variables = layer.init(jax.random.PRNGKey(3), x)
+    # Move the scales off their init so asymmetry is real.
+    params = dict(variables["params"])
+    params["wp"] = params["wp"] * 1.7
+    params["wn"] = params["wn"] * 0.6
+    expected = layer.apply({"params": params}, x)
+
+    entry = pack_quantized_layer(params, None)
+    assert "alpha_neg" in entry
+    got = packed_linear_apply(entry, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ttq_rpb_packed_serving_matches_dense():
+    from atq_tpu.nn.layers import ResidualPrecisionBoostLinear
+
+    x = jnp.asarray(np.random.RandomState(4).randn(4, 64).astype(np.float32))
+    layer = ResidualPrecisionBoostLinear(features=32, precision_ratio=0.1,
+                                         sparsity_target=0.3,
+                                         grad_mode="ttq")
+    variables = layer.init(jax.random.PRNGKey(5), x)
+    params = dict(variables["params"])
+    params["wp"] = params["wp"] * 1.3
+    params["wn"] = params["wn"] * 0.8
+    expected = layer.apply({"params": params, "quant": variables["quant"]},
+                           x)
+
+    entry = pack_quantized_layer(params, variables["quant"])
+    assert "alpha_neg" in entry
+    got = packed_linear_apply(entry, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-2, atol=2e-3)  # bf16 correction
+
+
+def test_export_packed_collection_includes_ttq_layers():
+    from atq_tpu.serve.packed_model import export_packed_collection
+
+    model = ATQImageClassifier(use_rpb=True, hidden_size=128,
+                               grad_mode="ttq")
+    x = jnp.asarray(
+        np.random.RandomState(6).randn(2, 28, 28, 1).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(7), x)
+    packed = export_packed_collection(variables["params"],
+                                      variables["quant"])
+    assert "classifier_0" in packed and "classifier_3" in packed
+    assert "alpha_neg" in packed["classifier_0"]["entry"]
+
+    expected = model.apply(variables, x, train=False)
+    got = model.apply({**variables, "packed": packed}, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=2e-2, atol=5e-2)  # bf16 correction, large logits

@@ -139,6 +139,45 @@ def test_concurrent_submitters():
     assert len(results) == 24
 
 
+def test_minority_bucket_not_starved():
+    """A minority-bucket request under sustained majority-bucket traffic
+    must be served within a bounded number of dispatch cycles, not
+    re-queued behind newer arrivals (engine.py deferred-pending deques).
+    """
+    dispatch_log = []  # bucket width of each dispatched batch
+
+    def apply_fn(tokens):
+        dispatch_log.append(tokens.shape[1])
+        time.sleep(0.005)  # make dispatch cycles observable
+        return tokens.sum(axis=1)
+
+    stop_flood = threading.Event()
+
+    with BatchServer(apply_fn, max_batch=4, max_wait_ms=10, bucket_by=0,
+                     buckets=(8, 16)) as srv:
+
+        def flood():
+            while not stop_flood.is_set():
+                srv.submit(np.ones(4, np.float32))  # bucket 8
+                time.sleep(0.001)
+
+        flooder = threading.Thread(target=flood, daemon=True)
+        flooder.start()
+        time.sleep(0.05)  # sustained bucket-8 traffic established
+        minority = srv.submit(np.ones(12, np.float32))  # bucket 16
+        n_before = len(dispatch_log)
+        out = minority.result(timeout=5)  # must not starve
+        n_during = len(dispatch_log) - n_before
+        stop_flood.set()
+        flooder.join(timeout=5)
+    np.testing.assert_allclose(out, 12.0)
+    # Deferral holds it back at most ~one forming batch plus its own
+    # dispatch; allow slack for thread scheduling.
+    assert n_during <= 6, (
+        f"minority bucket waited {n_during} dispatch cycles")
+    assert 16 in dispatch_log
+
+
 def test_lazy_start_and_stopped_rejection():
     srv = BatchServer(lambda x: x, max_batch=4, max_wait_ms=2)
     # bare submit auto-starts the collector
