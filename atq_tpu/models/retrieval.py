@@ -86,6 +86,8 @@ class ATQMultimodalRetrieval(nn.Module):
     text_moe_experts: int = 0  # >0: ternary-expert MoE FFN in the text
     # encoder layers (EP capability; 0 = reference-parity dense FFN)
     max_seq_length: int = 50
+    dropout: float = 0.1  # reference hard-codes 0.1 throughout; exposed
+    # so deterministic comparisons (trajectory parity) can zero it
 
     def setup(self):
         initial_vision = min(0.1, self.vision_threshold)
@@ -100,12 +102,13 @@ class ATQMultimodalRetrieval(nn.Module):
             num_heads=8, num_layers=4, dim_feedforward=self.hidden_dim,
             use_rpb=self.use_residual, sparsity_target=initial_text,
             max_seq_length=self.max_seq_length, grad_mode=self.grad_mode,
-            moe_experts=self.text_moe_experts,
+            moe_experts=self.text_moe_experts, dropout=self.dropout,
         )
         self.fusion = MultimodalFusion(
             input_dims={"image": self.embed_dim, "text": self.embed_dim},
             output_dim=self.embed_dim, fusion_method="cross_attention",
             num_heads=4, use_rpb=self.use_residual, grad_mode=self.grad_mode,
+            dropout=self.dropout,
         )
         self.text_projector = _proj(self.use_residual, self.embed_dim, 0.2,
                                     initial_text, "text_projector",

@@ -78,14 +78,16 @@ class ClassifierConfig:
 
 
 def _l1_penalty(params) -> jax.Array:
-    """L1 over weight matrices, excluding BatchNorm (train.py:194-203:
-    'weight' in name and 'bn' not in name)."""
+    """L1 over every torch parameter whose name contains 'weight'
+    (train.py:194-203). The reference also filters `'bn' not in name`,
+    but that filter never fires: its BatchNorms live at Sequential
+    indices ('features.1.weight'), so BN/LN scales ARE regularized.
+    Here torch '.weight' maps to leaves named weight (quantized linears,
+    (out,in) layout), kernel (conv/dense), or scale (BN/LN)."""
     total = jnp.asarray(0.0, jnp.float32)
     for path, leaf in jax.tree_util.tree_leaves_with_path(params):
         keys = [getattr(p, "key", str(p)) for p in path]
-        if any("bn" in str(k) for k in keys):
-            continue
-        if str(keys[-1]) in ("weight", "kernel"):
+        if str(keys[-1]) in ("weight", "kernel", "scale"):
             total = total + jnp.sum(jnp.abs(leaf))
     return total
 
@@ -120,8 +122,40 @@ def _kd_loss(student_logits, teacher_logits, temperature: float = 4.0):
     return jnp.mean(jnp.sum(t * (log_t - log_s), axis=-1)) * temperature ** 2
 
 
+def ternary_latent_decay_mask(params, quant, grad_mode: str):
+    """Weight-decay mask: False for latent TernaryLinear weights in parity
+    mode. In the reference those weights receive NO gradient at all
+    (atq/layers.py:35-43, SURVEY §2.1 quirk), so torch Adam — which skips
+    grad-None params entirely — never applies weight decay to them either.
+    Blanket optax.add_decayed_weights would shrink them (moving the
+    quantizer threshold and alpha) where the reference leaves them frozen.
+    RPB weights keep decay: their masked-gradient tensors are real, so
+    torch decays the full matrix."""
+    def walk(p, q):
+        out = {}
+        for k, v in p.items():
+            if isinstance(v, dict):
+                out[k] = walk(v, q.get(k, {}) if isinstance(q, dict)
+                              else {})
+            else:
+                is_latent = (
+                    k == "weight" and "alpha" in p
+                    and grad_mode == "parity"
+                    and not (isinstance(q, dict) and "precision_mask" in q)
+                )
+                out[k] = not is_latent
+        return out
+
+    return walk(params, quant or {})
+
+
 def make_optimizer(cfg: ClassifierConfig, steps_per_epoch: int,
-                   weight_decay: float = 0.0):
+                   weight_decay: float = 0.0, decay_mask=None,
+                   clip=None):
+    """``clip=None`` follows cfg.clip_grad; the BASELINE optimizer must
+    pass ``clip=False`` — the reference clips only the ATQ model's
+    gradients (train.py:209-211 clips model.parameters(); the baseline
+    optimizer at :163-167 never clips)."""
     if cfg.use_cosine_lr:
         total_steps = steps_per_epoch * cfg.epochs
         schedule = warmup_cosine_schedule(cfg.learning_rate,
@@ -130,12 +164,15 @@ def make_optimizer(cfg: ClassifierConfig, steps_per_epoch: int,
         schedule = step_lr_schedule(cfg.learning_rate, steps_per_epoch,
                                     cfg.epochs // 4)
     chain = []
-    if cfg.clip_grad:
+    if cfg.clip_grad if clip is None else clip:
         chain.append(optax.clip_by_global_norm(1.0))
     if weight_decay:
         # torch Adam's weight_decay adds an L2 term to the gradient BEFORE
         # the moment updates (train.py:66-70) — not decoupled AdamW.
-        chain.append(optax.add_decayed_weights(weight_decay))
+        decay = optax.add_decayed_weights(weight_decay)
+        if decay_mask is not None:
+            decay = optax.masked(decay, decay_mask)
+        chain.append(decay)
     chain.append(optax.adam(schedule))
     return optax.chain(*chain)
 
@@ -299,8 +336,12 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
     base_vars = base_model.init(jax.random.fold_in(rng, 1), sample)
 
     steps_per_epoch = len(train_loader)
-    atq_tx = make_optimizer(cfg, steps_per_epoch, weight_decay=1e-4)
-    base_tx = make_optimizer(cfg, steps_per_epoch)
+    atq_tx = make_optimizer(
+        cfg, steps_per_epoch, weight_decay=1e-4,
+        decay_mask=ternary_latent_decay_mask(
+            atq_vars["params"], atq_vars.get("quant", {}), cfg.grad_mode),
+    )
+    base_tx = make_optimizer(cfg, steps_per_epoch, clip=False)
 
     mesh = make_mesh(dp=cfg.dp, tp=cfg.tp)
     state = {
@@ -313,16 +354,18 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
         "base_opt_state": base_tx.init(base_vars["params"]),
         "step": jnp.asarray(0, jnp.int32),
     }
-    if cfg.tp > 1:
-        from atq_tpu.parallel.mesh import shard_state_tp
+    def _place_state(s):
+        if cfg.tp > 1:
+            from atq_tpu.parallel.mesh import shard_state_tp
 
-        state = shard_state_tp(
-            state, mesh, cfg.tp,
-            layer_names=("classifier_0", "classifier_3"),
-            param_keys=("atq_params", "quant", "base_params"),
-        )
-    else:
-        state = replicate(state, mesh)
+            return shard_state_tp(
+                s, mesh, cfg.tp,
+                layer_names=("classifier_0", "classifier_3"),
+                param_keys=("atq_params", "quant", "base_params"),
+            )
+        return replicate(s, mesh)
+
+    state = _place_state(state)
 
     train_step = jax.jit(
         build_train_step(atq_model, base_model, atq_tx, base_tx, cfg),
@@ -355,7 +398,9 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
             host_state, start_epoch = restore_train_state(
                 orbax_dir, jax.device_get(state)
             )
-            state = replicate(host_state, mesh)
+            # Re-shard on restore — blanket replicate would silently drop
+            # the TP placement established at init.
+            state = _place_state(host_state)
             if verbose:
                 print(f"Resumed from {orbax_dir} at epoch {start_epoch}")
         except FileNotFoundError:

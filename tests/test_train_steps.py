@@ -1,11 +1,14 @@
 """Trainer building blocks: KD loss formula parity vs torch, L1 penalty
 scope, cross-entropy, optimizer construction, and visualization smoke."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from atq_tpu.train.classifier import (
+
     ClassifierConfig,
     _cross_entropy,
     _kd_loss,
@@ -13,6 +16,8 @@ from atq_tpu.train.classifier import (
     _set_all_sparsity,
     make_optimizer,
 )
+
+pytestmark = pytest.mark.slow  # model-compile-heavy; excluded from the fast gate
 
 
 def test_kd_loss_matches_torch():
@@ -45,7 +50,12 @@ def test_cross_entropy_matches_torch():
     assert abs(ours - ref) < 1e-5
 
 
-def test_l1_penalty_excludes_bn():
+def test_l1_penalty_matches_torch_weight_name_scope():
+    """L1 covers every torch-'.weight' analog INCLUDING BN/LN scales:
+    the reference's `'bn' not in name` filter never fires because its
+    BatchNorms sit at Sequential indices ('features.1.weight'), so BN
+    scales are regularized (train.py:194-203; verified end-to-end by
+    tests/test_trajectory_parity.py with use_l1=True)."""
     params = {
         "classifier_0": {"weight": jnp.ones((2, 2)), "alpha": jnp.ones(1)},
         "features": {
@@ -53,8 +63,8 @@ def test_l1_penalty_excludes_bn():
             "bn1": {"scale": jnp.ones(2), "bias": jnp.zeros(2)},
         },
     }
-    # 4 (weight) + 18 (kernel); alpha/bias/bn excluded
-    assert float(_l1_penalty(params)) == 22.0
+    # 4 (weight) + 18 (kernel) + 2 (bn scale); alpha/bias excluded
+    assert float(_l1_penalty(params)) == 24.0
 
 
 def test_set_all_sparsity():
