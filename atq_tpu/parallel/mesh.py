@@ -71,8 +71,20 @@ def replicate(tree, mesh: Mesh):
     )
 
 
+# Layers whose out-features axis shards over 'model' by default: the
+# transformer FFN projections, attention q/k/v/out, and the wide
+# embedding projectors — the bulk of the quantized-matmul FLOPs.
+# (GSPMD re-shards activations around the head reshape in attention; the
+# step function itself never changes.)
+DEFAULT_TP_LAYERS = (
+    "linear1", "linear2",
+    "q_proj", "k_proj", "v_proj", "out_proj",
+    "projector", "image_projector", "text_projector", "final_fusion",
+)
+
+
 def tp_spec(path_keys, leaf, tp: int,
-            layer_names=("linear1", "linear2")) -> P:
+            layer_names=DEFAULT_TP_LAYERS) -> P:
     """PartitionSpec for one param/quant leaf under tensor parallelism:
     2-D weights (and their precision masks) of the named layers shard
     their out-features axis over 'model'; everything else replicates."""
@@ -85,7 +97,7 @@ def tp_spec(path_keys, leaf, tp: int,
 
 
 def shard_tree_tp(tree, mesh: Mesh, tp: int,
-                  layer_names=("linear1", "linear2")):
+                  layer_names=DEFAULT_TP_LAYERS):
     """Place a params-like pytree with :func:`tp_spec` per leaf. Returns
     (placed_tree, set of sharded leaf shapes)."""
     sharded_shapes = set()
@@ -102,7 +114,7 @@ def shard_tree_tp(tree, mesh: Mesh, tp: int,
 
 
 def shard_state_tp(state: dict, mesh: Mesh, tp: int,
-                   layer_names=("linear1", "linear2"),
+                   layer_names=DEFAULT_TP_LAYERS,
                    param_keys=("params", "quant", "ema_params")) -> dict:
     """Tensor-parallel placement of a full training-state dict.
 

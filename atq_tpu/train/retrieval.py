@@ -586,7 +586,11 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
             host_state, done_epochs = restore_train_state(
                 orbax_dir, jax.device_get(state)
             )
-            state = replicate(host_state, mesh)
+            # Re-shard on restore: blanket replicate would silently drop
+            # the TP placement (weights, masks, adam moments) that
+            # shard_state_tp established at init.
+            state = (shard_state_tp(host_state, mesh, cfg.tp)
+                     if cfg.tp > 1 else replicate(host_state, mesh))
             start_epoch = done_epochs
             if verbose:
                 print(f"Resumed from {orbax_dir} at epoch {start_epoch}")
@@ -733,8 +737,13 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
     best_path = os.path.join(cfg.output_dir, "best_model.npz")
     if os.path.exists(best_path):
         best = load_checkpoint(best_path)
-        state["params"] = replicate(best["params"], mesh)
-        state["quant"] = replicate(best["quant"], mesh)
+
+        def _place(tree):
+            return (shard_tree_tp(tree, mesh, cfg.tp)[0] if cfg.tp > 1
+                    else replicate(tree, mesh))
+
+        state["params"] = _place(best["params"])
+        state["quant"] = _place(best["quant"])
         state["constants"] = replicate(best.get("constants", {}), mesh)
         state["batch_stats"] = replicate(best.get("batch_stats", {}), mesh)
         if verbose:
@@ -742,17 +751,15 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
     test_metrics = evaluate_model(embed_fn, state, test_loader,
                                   use_ema=False)
 
-    # Single-sample inference latency.
+    # Single-sample inference latency, on the device_get-synced timer:
+    # block_until_ready can return early on remote-dispatch backends
+    # (utils/timing.py), so published latencies use sec_per_call.
+    from atq_tpu.utils.timing import sec_per_call
+
     one = (np.zeros((1, cfg.image_size, cfg.image_size, 3), np.float32),
            np.zeros((1, cfg.max_seq_length), np.int32),
            np.asarray([5], np.int32))
-    embed_fn(state, one)  # warmup/compile
-    t0 = time.time()
-    n_runs = 50
-    for _ in range(n_runs):
-        out = embed_fn(state, one)
-    jax.block_until_ready(out)
-    atq_time_ms = (time.time() - t0) * 1000 / n_runs
+    atq_time_ms = sec_per_call(lambda: embed_fn(state, one)) * 1000.0
 
     baseline_time_ms = None
     if cfg.train_baseline and baseline_model is not None:
@@ -763,12 +770,8 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
                 b[0], b[1], b[2], return_embeddings=True, train=False,
             )
         )
-        bembed(baseline_state, one)  # warmup/compile
-        t0 = time.time()
-        for _ in range(n_runs):
-            bout = bembed(baseline_state, one)
-        jax.block_until_ready(bout)
-        baseline_time_ms = (time.time() - t0) * 1000 / n_runs
+        baseline_time_ms = sec_per_call(
+            lambda: bembed(baseline_state, one)) * 1000.0
 
     report = {
         "best_val_r1": float(best_val_r1),

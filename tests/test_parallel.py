@@ -15,11 +15,14 @@ from atq_tpu.parallel.collectives import (
     psum_grads,
 )
 from atq_tpu.parallel.mesh import (
+
     data_sharding,
     make_mesh,
     replicate,
     shard_batch,
 )
+
+pytestmark = pytest.mark.slow  # model-compile-heavy; excluded from the fast gate
 
 
 @pytest.fixture(scope="module")
@@ -353,3 +356,84 @@ def test_classifier_train_step_tp_equivalence():
         # threshold/alpha reductions by ulps, which moves boundary weights
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4)
+
+
+def test_tp_resume_restores_sharded_placement(tmp_path):
+    """--tp resume must re-shard, not replicate: restore_train_state gives
+    host arrays, and the trainers re-place them with shard_state_tp (the
+    round-2 bug replicated on resume, silently dropping TP placement).
+    Verifies placement by .sharding assertion, bitwise state equality, and
+    step equivalence after the round-trip."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as PS
+
+    from atq_tpu.losses.contrastive import (
+        ContrastiveLearningManager,
+        HardNegativeMiningInfoNCE,
+    )
+    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
+    from atq_tpu.parallel.mesh import make_mesh, shard_batch, shard_state_tp
+    from atq_tpu.train.checkpoint import (
+        restore_train_state,
+        save_train_state,
+        wait_for_checkpoints,
+    )
+    from atq_tpu.train.retrieval import (
+        RetrievalConfig,
+        build_retrieval_train_step,
+        make_retrieval_optimizer,
+    )
+
+    model = ATQMultimodalRetrieval(vocab_size=48, embed_dim=32,
+                                   hidden_dim=64, use_residual=True,
+                                   max_seq_length=8)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)),
+                   jnp.zeros((2, 8), jnp.int32), jnp.asarray([4, 4]))
+    cfg = RetrievalConfig(batch_size=8, image_size=32, embed_dim=32,
+                          hidden_dim=64, max_seq_length=8,
+                          use_residual=True, dp=4, tp=2)
+    mesh = make_mesh(dp=4, tp=2)
+    tx = make_retrieval_optimizer(cfg, 10)
+    state = {"params": v["params"], "quant": v.get("quant", {}),
+             "constants": v.get("constants", {}),
+             "batch_stats": v.get("batch_stats", {}),
+             "opt_state": tx.init(v["params"]),
+             "step": jnp.asarray(0, jnp.int32)}
+    state = shard_state_tp(state, mesh, 2)
+
+    ckpt_dir = str(tmp_path / "orbax")
+    save_train_state(ckpt_dir, 3, state)
+    wait_for_checkpoints()
+    host_state, done = restore_train_state(ckpt_dir,
+                                           jax.device_get(state))
+    assert done == 3
+    resumed = shard_state_tp(host_state, mesh, 2)  # what resume now does
+
+    te = resumed["params"]["text_encoder"]["layers_0"]
+    for layer in ("linear1", "linear2"):
+        assert te[layer]["weight"].sharding.spec == PS("model", None)
+    # widened TP coverage: attention projections shard too
+    assert (te["self_attn"]["q_proj"]["weight"].sharding.spec
+            == PS("model", None))
+    assert (resumed["params"]["image_projector"]["weight"].sharding.spec
+            == PS("model", None))
+
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state)),
+                    jax.tree_util.tree_leaves(jax.device_get(resumed))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    crit = HardNegativeMiningInfoNCE(temperature_schedule=False)
+    mgr = ContrastiveLearningManager(criterion=crit)
+    step = jax.jit(build_retrieval_train_step(model, tx, crit, mgr, cfg))
+    rngd = np.random.RandomState(0)
+    batch = (rngd.randn(8, 32, 32, 3).astype(np.float32),
+             rngd.randint(0, 48, (8, 8)).astype(np.int32),
+             np.full(8, 6, np.int32))
+    _, loss_orig = step(state, shard_batch(batch, mesh),
+                        jnp.float32(0.07), jnp.int32(0),
+                        jax.random.PRNGKey(1))
+    _, loss_resumed = step(resumed, shard_batch(batch, mesh),
+                           jnp.float32(0.07), jnp.int32(0),
+                           jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(loss_orig), float(loss_resumed),
+                               rtol=1e-6)
