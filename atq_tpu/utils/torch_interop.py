@@ -309,6 +309,194 @@ def import_retrieval_state_dict(sd: Dict[str, np.ndarray],
     return params, quant, constants, stats
 
 
+def _export_quantized_linear(sd: dict, prefix: str, node: dict,
+                             qnode) -> None:
+    sd[f"{prefix}.weight"] = np.asarray(node["weight"])
+    sd[f"{prefix}.alpha"] = np.asarray(node["alpha"])
+    if "bias" in node:
+        sd[f"{prefix}.bias"] = np.asarray(node["bias"])
+    if isinstance(qnode, dict) and "precision_mask" in qnode:
+        sd[f"{prefix}.precision_mask"] = np.asarray(qnode["precision_mask"])
+
+
+def _export_layer_norm(sd: dict, prefix: str, node: dict) -> None:
+    sd[f"{prefix}.weight"] = np.asarray(node["scale"])
+    sd[f"{prefix}.bias"] = np.asarray(node["bias"])
+
+
+def export_resnet_params(params: dict, stats: dict,
+                         arch: str = "resnet18") -> Dict[str, np.ndarray]:
+    """Inverse of models/resnet.py:load_torch_state_dict — flax trees back
+    to flat torchvision naming (NCHW conv layout)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def conv(torch_name, node):
+        sd[f"{torch_name}.weight"] = np.transpose(
+            np.asarray(node["kernel"]), (3, 2, 0, 1))
+
+    def bn(torch_name, pnode, snode):
+        sd[f"{torch_name}.weight"] = np.asarray(pnode["scale"])
+        sd[f"{torch_name}.bias"] = np.asarray(pnode["bias"])
+        sd[f"{torch_name}.running_mean"] = np.asarray(snode["mean"])
+        sd[f"{torch_name}.running_var"] = np.asarray(snode["var"])
+
+    conv("conv1", params["conv1"])
+    bn("bn1", params["bn1"], stats["bn1"])
+    stage_sizes = (2, 2, 2, 2) if arch == "resnet18" else (3, 4, 6, 3)
+    n_convs = 2 if arch == "resnet18" else 3
+    for stage, num_blocks in enumerate(stage_sizes):
+        for b in range(num_blocks):
+            fkey = f"layer{stage + 1}_{b}"
+            tpfx = f"layer{stage + 1}.{b}"
+            pnode, snode = params[fkey], stats[fkey]
+            for c in range(1, n_convs + 1):
+                conv(f"{tpfx}.conv{c}", pnode[f"conv{c}"])
+                bn(f"{tpfx}.bn{c}", pnode[f"bn{c}"], snode[f"bn{c}"])
+            if "downsample_conv" in pnode:
+                conv(f"{tpfx}.downsample.0", pnode["downsample_conv"])
+                bn(f"{tpfx}.downsample.1", pnode["downsample_bn"],
+                   snode["downsample_bn"])
+    return sd
+
+
+def export_text_encoder_params(params: dict, quant: dict, constants: dict,
+                               prefix: str = "",
+                               num_layers: int = 4) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_text_encoder_state_dict`."""
+    p = prefix
+    sd: Dict[str, np.ndarray] = {}
+    if constants and "positional_encoding" in constants:
+        sd[f"{p}positional_encoding"] = np.asarray(
+            constants["positional_encoding"])
+    sd[f"{p}embedding.weight"] = np.asarray(params["embedding"]["embedding"])
+    _export_layer_norm(sd, f"{p}embed_norm", params["embed_norm"])
+    for i in range(num_layers):
+        lp = f"{p}layers.{i}"
+        node = params[f"layers_{i}"]
+        qnode = (quant or {}).get(f"layers_{i}", {})
+        _export_layer_norm(sd, f"{lp}.self_attn.pre_layer_norm",
+                           node["self_attn"]["pre_layer_norm"])
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _export_quantized_linear(
+                sd, f"{lp}.self_attn.{proj}", node["self_attn"][proj],
+                qnode.get("self_attn", {}).get(proj))
+        for lin in ("linear1", "linear2"):
+            _export_quantized_linear(sd, f"{lp}.{lin}", node[lin],
+                                     qnode.get(lin))
+        for norm in ("norm1", "norm2"):
+            _export_layer_norm(sd, f"{lp}.{norm}", node[norm])
+        sd[f"{lp}.gate"] = np.asarray(node["gate"])
+    _export_layer_norm(sd, f"{p}norm", params["norm"])
+    _export_quantized_linear(sd, f"{p}attention_pool.0",
+                             params["attention_pool_0"],
+                             (quant or {}).get("attention_pool_0"))
+    _export_quantized_linear(sd, f"{p}attention_pool.2",
+                             params["attention_pool_2"],
+                             (quant or {}).get("attention_pool_2"))
+    sd[f"{p}scaling"] = np.asarray(params["scaling"])
+    return sd
+
+
+def export_fusion_params(params: dict, quant: dict, prefix: str = "",
+                         modalities=("image", "text"),
+                         fusion_method: str = "cross_attention"
+                         ) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_fusion_state_dict`."""
+    p = prefix
+    q = quant or {}
+    sd: Dict[str, np.ndarray] = {}
+    for name in modalities:
+        node = params[f"modality_projections_{name}"]
+        qnode = q.get(f"modality_projections_{name}", {})
+        base = f"{p}modality_projections.{name}"
+        _export_quantized_linear(sd, f"{base}.projection",
+                                 node["projection"],
+                                 qnode.get("projection"))
+        _export_layer_norm(sd, f"{base}.norm", node["norm"])
+        sd[f"{p}modality_scales.{name}"] = np.asarray(
+            params[f"modality_scales_{name}"])
+    if fusion_method == "cross_attention":
+        for attn in ("text2image", "image2text"):
+            node = params[attn]
+            qnode = q.get(attn, {})
+            base = f"{p}{attn}"
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                _export_quantized_linear(sd, f"{base}.{proj}", node[proj],
+                                         qnode.get(proj))
+            for ln in ("layer_norm_q", "layer_norm_k", "layer_norm_v",
+                       "layer_norm_out"):
+                _export_layer_norm(sd, f"{base}.{ln}", node[ln])
+            sd[f"{base}.gate"] = np.asarray(node["gate"])
+            sd[f"{base}.attention_scale"] = np.asarray(
+                node["attention_scale"])
+        for name in ("text", "image"):
+            key = f"cross_modal_align_{name}"
+            if key in params:
+                _export_quantized_linear(sd, f"{p}cross_modal_align.{name}",
+                                         params[key], q.get(key))
+        _export_quantized_linear(sd, f"{p}final_fusion",
+                                 params["final_fusion"],
+                                 q.get("final_fusion"))
+    elif fusion_method == "concat":
+        _export_quantized_linear(sd, f"{p}fusion_layer",
+                                 params["fusion_layer"],
+                                 q.get("fusion_layer"))
+    else:
+        _export_quantized_linear(sd, f"{p}fusion_gate",
+                                 params["fusion_gate"], q.get("fusion_gate"))
+    _export_layer_norm(sd, f"{p}norm", params["norm"])
+    return sd
+
+
+# Inverse of _RESNET_SEQ for export.
+_RESNET_SEQ_INV = {v: k for k, v in _RESNET_SEQ.items()}
+
+
+def export_retrieval_params(params: dict, quant: dict, constants: dict,
+                            batch_stats: dict, num_text_layers: int = 4,
+                            arch: str = "resnet18"
+                            ) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_retrieval_state_dict`: this framework's
+    trees back to the reference's ``ATQMultimodalRetrieval`` state_dict
+    naming (best_model.pth / final_model.pth format,
+    /root/reference/train_multimodal.py:645-669), so a retrieval model
+    trained here round-trips to torch. Bitwise on params and masks."""
+    sd: Dict[str, np.ndarray] = {}
+    q = quant or {}
+
+    # Image encoder: flat torchvision names -> Sequential indices.
+    flat = export_resnet_params(params["image_encoder"]["base_model"],
+                                batch_stats["image_encoder"]["base_model"],
+                                arch=arch)
+    for key, value in flat.items():
+        stem, _, tail = key.partition(".")
+        sd[f"image_encoder.base_model.{_RESNET_SEQ_INV[stem]}.{tail}"] = value
+    ie = params["image_encoder"]
+    ie_q = q.get("image_encoder", {})
+    _export_layer_norm(sd, "image_encoder.feature_norm", ie["feature_norm"])
+    _export_quantized_linear(sd, "image_encoder.projector", ie["projector"],
+                             ie_q.get("projector"))
+    _export_layer_norm(sd, "image_encoder.proj_norm", ie["proj_norm"])
+    sd["image_encoder.scaling"] = np.asarray(ie["scaling"])
+
+    sd.update(export_text_encoder_params(
+        params["text_encoder"], q.get("text_encoder", {}),
+        (constants or {}).get("text_encoder", {}),
+        prefix="text_encoder.", num_layers=num_text_layers))
+    sd.update(export_fusion_params(params["fusion"], q.get("fusion", {}),
+                                   prefix="fusion."))
+
+    _export_quantized_linear(sd, "text_projector", params["text_projector"],
+                             q.get("text_projector"))
+    _export_quantized_linear(sd, "image_projector",
+                             params["image_projector"],
+                             q.get("image_projector"))
+    _export_layer_norm(sd, "img_norm", params["img_norm"])
+    _export_layer_norm(sd, "text_norm", params["text_norm"])
+    sd["temperature"] = np.asarray(params["temperature"]).reshape(())
+    return sd
+
+
 def export_classifier_params(params: dict, quant: dict,
                              batch_stats: dict) -> Dict[str, np.ndarray]:
     """Inverse of :func:`import_classifier_state_dict` (torch naming)."""

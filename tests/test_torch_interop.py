@@ -10,9 +10,12 @@ import jax.numpy as jnp
 
 from atq_tpu.models.image_classifier import ATQImageClassifier
 from atq_tpu.utils.torch_interop import (
+
     export_classifier_params,
     import_classifier_state_dict,
 )
+
+pytestmark = pytest.mark.slow  # model-compile-heavy; excluded from the fast gate
 
 
 @pytest.fixture(scope="module")
@@ -193,19 +196,11 @@ def test_fusion_stack_parity(ref_fusion):
                                atol=2e-3)
 
 
-def test_full_retrieval_import_structure(ref_text_encoder, ref_fusion):
+def _make_retrieval_sd(ref_text_encoder, ref_fusion):
     """Synthesize a reference-style ATQMultimodalRetrieval state_dict (real
     reference text-encoder + fusion submodules, generated ResNet tensors,
-    projector heads) and check the imported trees match our model's init
-    structure leaf-for-leaf."""
+    projector heads). Returns (sd, dim, hidden)."""
     import torch
-
-    import jax
-    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
-    from atq_tpu.utils.torch_interop import (
-        _RESNET_SEQ,
-        import_retrieval_state_dict,
-    )
 
     torch.manual_seed(0)
     dim, hidden = 32, 64
@@ -275,7 +270,18 @@ def test_full_retrieval_import_structure(ref_text_encoder, ref_fusion):
     add_ln("img_norm", dim)
     add_ln("text_norm", dim)
     sd["temperature"] = np.asarray(0.07, np.float32)
+    return sd, dim, hidden
 
+
+def test_full_retrieval_import_structure(ref_text_encoder, ref_fusion):
+    """Import the synthesized reference-style retrieval state_dict and
+    check the trees match our model's init structure leaf-for-leaf."""
+    import jax
+
+    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
+    from atq_tpu.utils.torch_interop import import_retrieval_state_dict
+
+    sd, dim, hidden = _make_retrieval_sd(ref_text_encoder, ref_fusion)
     params, quant, constants, stats = import_retrieval_state_dict(
         sd, num_text_layers=4
     )
@@ -312,3 +318,46 @@ def test_full_retrieval_import_structure(ref_text_encoder, ref_fusion):
         jnp.asarray([5, 5], jnp.int32),
     )
     assert out.shape == (2, 2)
+
+
+def test_retrieval_export_round_trip(ref_text_encoder, ref_fusion):
+    """import -> export -> import must be bitwise on every tensor, and the
+    exported dict must carry exactly the reference's key set
+    (export_retrieval_params inverting import_retrieval_state_dict;
+    reference checkpoint naming per train_multimodal.py:645-669)."""
+    from atq_tpu.utils.torch_interop import (
+        export_retrieval_params,
+        import_retrieval_state_dict,
+    )
+
+    sd, dim, hidden = _make_retrieval_sd(ref_text_encoder, ref_fusion)
+    params, quant, constants, stats = import_retrieval_state_dict(
+        sd, num_text_layers=4
+    )
+    exported = export_retrieval_params(params, quant, constants, stats,
+                                       num_text_layers=4)
+
+    missing = set(sd) - set(exported)
+    extra = set(exported) - set(sd)
+    assert not missing, f"export missing keys: {sorted(missing)[:8]}"
+    assert not extra, f"export extra keys: {sorted(extra)[:8]}"
+    for key in sd:
+        got = np.asarray(exported[key], np.float32)
+        want = np.asarray(sd[key], np.float32).reshape(got.shape)
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"round-trip mismatch at {key}")
+
+    # Second import of the export must equal the first import bitwise.
+    params2, quant2, constants2, stats2 = import_retrieval_state_dict(
+        exported, num_text_layers=4
+    )
+    for a, b in [(params, params2), (quant, quant2),
+                 (constants, constants2), (stats, stats2)]:
+        flat_a = jax.tree_util.tree_leaves_with_path(a)
+        flat_b = dict(
+            (jax.tree_util.keystr(p), l)
+            for p, l in jax.tree_util.tree_leaves_with_path(b))
+        for path, leaf in flat_a:
+            np.testing.assert_array_equal(
+                np.asarray(leaf), np.asarray(flat_b[jax.tree_util.keystr(path)]),
+                err_msg=f"re-import mismatch at {jax.tree_util.keystr(path)}")
