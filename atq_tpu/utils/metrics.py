@@ -31,16 +31,18 @@ def measure_inference_time(apply_fn: Callable, inputs, num_runs: int = 50,
                            warmup: int = 5) -> float:
     """Average wall-clock per call in ms after warmup (metrics.py:21-57).
     ``apply_fn`` should already be jitted; inputs may be a tuple/list of
-    positional args or a single array."""
+    positional args or a single array.
+
+    Timing rides utils/timing.sec_per_call: on remote-dispatch backends
+    ``block_until_ready`` can return before the device finishes (see
+    utils/timing.py module docstring), so the window is synced via a
+    ``device_get`` of a result-dependent slice and the measured
+    dispatch->fetch roundtrip floor is subtracted."""
+    from atq_tpu.utils.timing import sec_per_call
+
     args = inputs if isinstance(inputs, (list, tuple)) else (inputs,)
-    for _ in range(warmup):
-        out = apply_fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(num_runs):
-        out = apply_fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) * 1000 / num_runs
+    return sec_per_call(apply_fn, *args, warmup=warmup,
+                        iters=num_runs) * 1000.0
 
 
 def estimate_flops(params, input_size, model=None) -> int:

@@ -11,9 +11,12 @@ import numpy as np
 import pytest
 
 from atq_tpu.nn.mixed_precision import (
+
     EnhancedATQTransformerLayer,
     PrecisionControlledLinear,
 )
+
+pytestmark = pytest.mark.slow  # model-compile-heavy; excluded from the fast gate
 
 
 def test_precision_controlled_linear():

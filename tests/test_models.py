@@ -17,6 +17,9 @@ from atq_tpu.models import (
 from atq_tpu.models.image_classifier import BaselineCNNClassifier
 from atq_tpu.models.retrieval import get_model_size_info
 
+pytestmark = pytest.mark.slow  # model-compile-heavy; excluded from the fast gate
+
+
 
 @pytest.fixture(scope="module")
 def rngs():

@@ -13,11 +13,14 @@ import pytest
 from jax.sharding import Mesh
 
 from atq_tpu.parallel.moe import (
+
     init_moe_params,
     moe_ffn,
     moe_ffn_sharded,
     top1_dispatch,
 )
+
+pytestmark = pytest.mark.slow  # model-compile-heavy; excluded from the fast gate
 
 T, D, H, E = 32, 16, 24, 8
 

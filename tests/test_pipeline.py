@@ -13,11 +13,14 @@ import pytest
 from jax.sharding import Mesh
 
 from atq_tpu.parallel.pipeline import (
+
     merge_microbatches,
     pipeline_apply,
     split_microbatches,
     stack_stage_params,
 )
+
+pytestmark = pytest.mark.slow  # model-compile-heavy; excluded from the fast gate
 
 DIM = 16
 

@@ -7,9 +7,12 @@ import pytest
 
 from atq_tpu.parallel.mesh import make_mesh
 from atq_tpu.parallel.ring_attention import (
+
     dense_reference_attention,
     sequence_parallel_attention,
 )
+
+pytestmark = pytest.mark.slow  # model-compile-heavy; excluded from the fast gate
 
 
 @pytest.fixture(scope="module")
