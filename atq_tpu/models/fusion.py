@@ -14,7 +14,7 @@ Preserved quirks:
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -39,6 +39,7 @@ class ModalitySpecificQuantization(nn.Module):
     modality_name: str
     use_rpb: bool = True
     grad_mode: str = "parity"
+    dtype: Optional[jnp.dtype] = None  # matmul compute dtype (AMP)
 
     @nn.compact
     def __call__(self, x):
@@ -47,7 +48,8 @@ class ModalitySpecificQuantization(nn.Module):
         initial_sparsity = min(0.1, target)
         precision_ratio = 0.2 if self.modality_name == "fusion" else 0.15
         x = _proj(self.use_rpb, self.output_dim, precision_ratio,
-                  initial_sparsity, "projection", self.grad_mode)(x)
+                  initial_sparsity, "projection", self.grad_mode,
+                  self.dtype)(x)
         x = _norm(name="norm")(x)
         return nn.gelu(x, approximate=False)
 
@@ -63,6 +65,7 @@ class MultimodalFusion(nn.Module):
     dropout: float = 0.1
     use_rpb: bool = True
     grad_mode: str = "parity"
+    dtype: Optional[jnp.dtype] = None  # matmul compute dtype (AMP)
 
     @nn.compact
     def __call__(self, inputs: Dict[str, jnp.ndarray],
@@ -84,6 +87,7 @@ class MultimodalFusion(nn.Module):
             features = ModalitySpecificQuantization(
                 output_dim=self.output_dim, modality_name=name,
                 use_rpb=self.use_rpb, grad_mode=self.grad_mode,
+                dtype=self.dtype,
                 name=f"modality_projections_{name}",
             )(features)
             scale = self.param(
@@ -101,14 +105,14 @@ class MultimodalFusion(nn.Module):
                 hidden_dim=self.output_dim, num_heads=self.num_heads,
                 dropout=self.dropout, use_rpb=self.use_rpb,
                 sparsity_target=initial_sparsity, grad_mode=self.grad_mode,
-                name="text2image",
+                dtype=self.dtype, name="text2image",
             )(text_features, image_features, image_features,
               deterministic=deterministic)
             image_attended = TernaryCrossAttention(
                 hidden_dim=self.output_dim, num_heads=self.num_heads,
                 dropout=self.dropout, use_rpb=self.use_rpb,
                 sparsity_target=initial_sparsity, grad_mode=self.grad_mode,
-                name="image2text",
+                dtype=self.dtype, name="image2text",
             )(image_features, text_features, text_features,
               deterministic=deterministic)
 
@@ -116,11 +120,13 @@ class MultimodalFusion(nn.Module):
                 text_attended = _proj(True, self.output_dim, 0.2,
                                       initial_sparsity,
                                       "cross_modal_align_text",
-                                      self.grad_mode)(text_attended)
+                                      self.grad_mode,
+                                      self.dtype)(text_attended)
                 image_attended = _proj(True, self.output_dim, 0.2,
                                        initial_sparsity,
                                        "cross_modal_align_image",
-                                       self.grad_mode)(image_attended)
+                                       self.grad_mode,
+                                       self.dtype)(image_attended)
 
             text_attended = l2_normalize(text_attended, axis=1)
             image_attended = l2_normalize(image_attended, axis=1)
@@ -129,7 +135,7 @@ class MultimodalFusion(nn.Module):
                                        axis=1)
             fused = _proj(self.use_rpb, self.output_dim, 0.2,
                           initial_sparsity, "final_fusion",
-                          self.grad_mode)(combined)
+                          self.grad_mode, self.dtype)(combined)
 
         elif self.fusion_method == "concat":
             concatenated = jnp.concatenate(
@@ -137,7 +143,7 @@ class MultimodalFusion(nn.Module):
             )
             fused = _proj(self.use_rpb, self.output_dim, 0.2,
                           initial_sparsity, "fusion_layer",
-                          self.grad_mode)(concatenated)
+                          self.grad_mode, self.dtype)(concatenated)
 
         else:  # element-wise gated sum
             stacked = jnp.concatenate(
@@ -145,7 +151,7 @@ class MultimodalFusion(nn.Module):
             )
             gates = nn.sigmoid(
                 _proj(self.use_rpb, self.output_dim, 0.2, initial_sparsity,
-                      "fusion_gate", self.grad_mode)(stacked)
+                      "fusion_gate", self.grad_mode, self.dtype)(stacked)
             )
             # Reference quirk: only the first len(modalities) gate columns
             # are used (fusion.py:408-414).

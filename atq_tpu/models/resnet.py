@@ -17,32 +17,35 @@ eps 1e-5); eval mode uses running statistics like the reference's
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-_BN = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5)
+_BN = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5,
+              dtype=jnp.float32)
 
 
 class BasicBlock(nn.Module):
     features: int
     strides: int = 1
+    dtype: Optional[jnp.dtype] = None  # conv compute dtype (AMP)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=self.strides, padding=1,
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = _BN(use_running_average=not train, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
-                    name="conv2")(y)
+                    dtype=self.dtype, name="conv2")(y)
         y = _BN(use_running_average=not train, name="bn2")(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1), strides=self.strides,
-                               use_bias=False, name="downsample_conv")(x)
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
             residual = _BN(use_running_average=not train,
                            name="downsample_bn")(residual)
         return nn.relu(y + residual)
@@ -52,23 +55,27 @@ class Bottleneck(nn.Module):
     features: int
     strides: int = 1
     expansion: int = 4
+    dtype: Optional[jnp.dtype] = None  # conv compute dtype (AMP)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
         out_features = self.features * self.expansion
-        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
         y = _BN(use_running_average=not train, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=self.strides, padding=1,
-                    use_bias=False, name="conv2")(y)
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = _BN(use_running_average=not train, name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(out_features, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.Conv(out_features, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
         y = _BN(use_running_average=not train, name="bn3")(y)
         if residual.shape != y.shape:
             residual = nn.Conv(out_features, (1, 1), strides=self.strides,
-                               use_bias=False, name="downsample_conv")(x)
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
             residual = _BN(use_running_average=not train,
                            name="downsample_bn")(residual)
         return nn.relu(y + residual)
@@ -84,11 +91,12 @@ class ResNetFeatures(nn.Module):
     stage_sizes: Sequence[int]
     block: Any
     width: int = 64
+    dtype: Optional[jnp.dtype] = None  # conv compute dtype (AMP)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.width, (7, 7), strides=2, padding=3, use_bias=False,
-                    name="conv1")(x)
+                    dtype=self.dtype, name="conv1")(x)
         x = _BN(use_running_average=not train, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -97,6 +105,7 @@ class ResNetFeatures(nn.Module):
             for block_idx in range(num_blocks):
                 strides = 2 if stage > 0 and block_idx == 0 else 1
                 x = self.block(features=features, strides=strides,
+                               dtype=self.dtype,
                                name=f"layer{stage + 1}_{block_idx}")(
                     x, train=train)
         return jnp.mean(x, axis=(1, 2))  # global average pool

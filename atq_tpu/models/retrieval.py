@@ -35,6 +35,7 @@ class ImageEncoder(nn.Module):
     sparsity_target: float = 0.3
     base_model: str = "resnet18"
     grad_mode: str = "parity"
+    dtype: Optional[jnp.dtype] = None  # matmul/conv compute dtype (AMP)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -43,10 +44,12 @@ class ImageEncoder(nn.Module):
 
         if self.base_model == "resnet18":
             backbone = ResNetFeatures(stage_sizes=(2, 2, 2, 2),
-                                      block=BasicBlock, name="base_model")
+                                      block=BasicBlock, dtype=self.dtype,
+                                      name="base_model")
         elif self.base_model == "resnet50":
             backbone = ResNetFeatures(stage_sizes=(3, 4, 6, 3),
-                                      block=Bottleneck, name="base_model")
+                                      block=Bottleneck, dtype=self.dtype,
+                                      name="base_model")
         else:
             raise ValueError(f"Unknown base model: {self.base_model}")
         features = backbone(x, train=train)
@@ -54,7 +57,7 @@ class ImageEncoder(nn.Module):
 
         embeddings = _proj(self.use_rpb, self.embed_dim, 0.2,
                            initial_sparsity, "projector",
-                           self.grad_mode)(features)
+                           self.grad_mode, self.dtype)(features)
         embeddings = nn.gelu(embeddings, approximate=False)
         embeddings = _norm(name="proj_norm")(embeddings)
 
@@ -88,6 +91,10 @@ class ATQMultimodalRetrieval(nn.Module):
     max_seq_length: int = 50
     dropout: float = 0.1  # reference hard-codes 0.1 throughout; exposed
     # so deterministic comparisons (trajectory parity) can zero it
+    compute_dtype: Optional[jnp.dtype] = None  # AMP: matmul/conv compute
+    # dtype with torch-autocast semantics — latent weights, quantizer
+    # thresholds, LayerNorm/BatchNorm/softmax stay f32; effective weights
+    # and activations cast at the matmul/conv (--use_amp sets bfloat16)
 
     def setup(self):
         initial_vision = min(0.1, self.vision_threshold)
@@ -95,7 +102,7 @@ class ATQMultimodalRetrieval(nn.Module):
         self.image_encoder = ImageEncoder(
             embed_dim=self.embed_dim, use_rpb=self.use_residual,
             sparsity_target=initial_vision, base_model=self.base_model,
-            grad_mode=self.grad_mode,
+            grad_mode=self.grad_mode, dtype=self.compute_dtype,
         )
         self.text_encoder = ATQTextEncoder(
             vocab_size=self.vocab_size, embed_dim=self.embed_dim,
@@ -103,19 +110,20 @@ class ATQMultimodalRetrieval(nn.Module):
             use_rpb=self.use_residual, sparsity_target=initial_text,
             max_seq_length=self.max_seq_length, grad_mode=self.grad_mode,
             moe_experts=self.text_moe_experts, dropout=self.dropout,
+            dtype=self.compute_dtype,
         )
         self.fusion = MultimodalFusion(
             input_dims={"image": self.embed_dim, "text": self.embed_dim},
             output_dim=self.embed_dim, fusion_method="cross_attention",
             num_heads=4, use_rpb=self.use_residual, grad_mode=self.grad_mode,
-            dropout=self.dropout,
+            dropout=self.dropout, dtype=self.compute_dtype,
         )
         self.text_projector = _proj(self.use_residual, self.embed_dim, 0.2,
                                     initial_text, "text_projector",
-                                    self.grad_mode)
+                                    self.grad_mode, self.compute_dtype)
         self.image_projector = _proj(self.use_residual, self.embed_dim, 0.2,
                                      initial_vision, "image_projector",
-                                     self.grad_mode)
+                                     self.grad_mode, self.compute_dtype)
         self.img_norm = _norm()
         self.text_norm = _norm()
         # Learnable temperature init 0.07 (multimodal_classifier.py:170-171).

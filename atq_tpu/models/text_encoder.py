@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import math
 
+from typing import Optional
+
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
@@ -63,6 +65,7 @@ class ATQTextEncoder(nn.Module):
     sparsity_target: float = 0.3
     max_seq_length: int = 256
     grad_mode: str = "parity"
+    dtype: Optional[jnp.dtype] = None  # matmul compute dtype (AMP)
     moe_experts: int = 0  # >0: MoE FFN in every transformer layer
     # (ternary experts, EP-shardable — nn/transformer.py)
 
@@ -97,6 +100,7 @@ class ATQTextEncoder(nn.Module):
             h = TernaryTransformerLayer(
                 embed_dim=self.embed_dim, num_heads=self.num_heads,
                 dim_feedforward=self.dim_feedforward, dropout=self.dropout,
+                dtype=self.dtype,
                 use_rpb=self.use_rpb, sparsity_target=initial_sparsity,
                 layer_idx=i, grad_mode=self.grad_mode,
                 moe_experts=self.moe_experts, name=f"layers_{i}",
@@ -108,10 +112,10 @@ class ATQTextEncoder(nn.Module):
         # Attention pooling: RPB dim -> dim/2 -> 1 with Tanh, softmax over
         # the sequence axis (text_encoder.py:292-311).
         a = _proj(self.use_rpb, self.embed_dim // 2, 0.2, initial_sparsity,
-                  "attention_pool_0", self.grad_mode)(h)
+                  "attention_pool_0", self.grad_mode, self.dtype)(h)
         a = jnp.tanh(a)
         a = _proj(self.use_rpb, 1, 0.2, initial_sparsity,
-                  "attention_pool_2", self.grad_mode)(a)
+                  "attention_pool_2", self.grad_mode, self.dtype)(a)
         attn_weights = nn.softmax(a, axis=1)  # (B, L, 1)
 
         if src_key_padding_mask is not None:

@@ -33,7 +33,9 @@ NEG_INF = float("-inf")
 
 
 def _norm(name=None):
-    return nn.LayerNorm(epsilon=1e-5, name=name)
+    # Computation pinned to f32: under bf16 AMP torch autocast runs
+    # LayerNorm in fp32 (and the parity path is f32 anyway).
+    return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)
 
 
 def lengths_to_padding_mask(lengths, seq_length: int):
@@ -44,13 +46,20 @@ def lengths_to_padding_mask(lengths, seq_length: int):
 
 
 def _proj(use_rpb: bool, features: int, precision_ratio: float,
-          sparsity_target: float, name: str, grad_mode: str = "parity"):
+          sparsity_target: float, name: str, grad_mode: str = "parity",
+          dtype=None):
+    """``dtype`` is the MATMUL compute dtype (autocast semantics: the
+    latent weights, quantizer sort/threshold, and alpha stay f32; the
+    effective weight and activations cast at the matmul — exactly what
+    torch autocast does to the reference's F.linear)."""
     if use_rpb:
         return ResidualPrecisionBoostLinear(
             features=features, precision_ratio=precision_ratio,
             sparsity_target=sparsity_target, name=name, grad_mode=grad_mode,
+            dtype=dtype,
         )
-    return TernaryLinear(features=features, name=name, grad_mode=grad_mode)
+    return TernaryLinear(features=features, name=name, grad_mode=grad_mode,
+                         dtype=dtype)
 
 
 class TernaryMultiheadAttention(nn.Module):
@@ -69,6 +78,7 @@ class TernaryMultiheadAttention(nn.Module):
     attention_scale: Optional[float] = None
     critical_attention: bool = False
     grad_mode: str = "parity"
+    dtype: Optional[jnp.dtype] = None  # matmul compute dtype (AMP)
 
     @nn.compact
     def __call__(self, query, key, value, attn_mask=None,
@@ -85,11 +95,14 @@ class TernaryMultiheadAttention(nn.Module):
         batch = query.shape[0]
 
         q = _proj(self.use_rpb, self.embed_dim, precision_ratio,
-                  initial_sparsity, "q_proj", self.grad_mode)(query)
+                  initial_sparsity, "q_proj", self.grad_mode,
+                  self.dtype)(query)
         k = _proj(self.use_rpb, self.embed_dim, precision_ratio,
-                  initial_sparsity, "k_proj", self.grad_mode)(key)
+                  initial_sparsity, "k_proj", self.grad_mode,
+                  self.dtype)(key)
         v = _proj(self.use_rpb, self.embed_dim, precision_ratio,
-                  initial_sparsity, "v_proj", self.grad_mode)(value)
+                  initial_sparsity, "v_proj", self.grad_mode,
+                  self.dtype)(value)
 
         gradient_threshold = 0.01 if self.critical_attention else 0.05
         q = apply_selective_routing(q, threshold=gradient_threshold)
@@ -118,14 +131,16 @@ class TernaryMultiheadAttention(nn.Module):
         if attn_mask is not None:
             scores = scores + attn_mask
 
-        attn = nn.softmax(scores, axis=-1)
+        attn = nn.softmax(scores.astype(jnp.float32), axis=-1)
+        attn = attn.astype(v.dtype)  # back to compute dtype for the matmul
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
 
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(batch, -1, self.embed_dim)
 
         out = _proj(self.use_rpb, self.embed_dim, precision_ratio * 2,
-                    initial_sparsity, "out_proj", self.grad_mode)(out)
+                    initial_sparsity, "out_proj", self.grad_mode,
+                    self.dtype)(out)
 
         if self.critical_attention:
             out = out + 0.1 * query
@@ -148,6 +163,7 @@ class TernaryCrossAttention(nn.Module):
     use_rpb: bool = True
     sparsity_target: float = 0.3
     grad_mode: str = "parity"
+    dtype: Optional[jnp.dtype] = None  # matmul compute dtype (AMP)
 
     @nn.compact
     def __call__(self, query, key, value, deterministic: bool = True):
@@ -161,11 +177,11 @@ class TernaryCrossAttention(nn.Module):
         value = _norm(name="layer_norm_v")(value)
 
         q = _proj(self.use_rpb, self.hidden_dim, 0.15, initial_sparsity,
-                  "q_proj", self.grad_mode)(query)
+                  "q_proj", self.grad_mode, self.dtype)(query)
         k = _proj(self.use_rpb, self.hidden_dim, 0.15, initial_sparsity,
-                  "k_proj", self.grad_mode)(key)
+                  "k_proj", self.grad_mode, self.dtype)(key)
         v = _proj(self.use_rpb, self.hidden_dim, 0.15, initial_sparsity,
-                  "v_proj", self.grad_mode)(value)
+                  "v_proj", self.grad_mode, self.dtype)(value)
 
         q = apply_selective_routing(q, threshold=0.01)
         k = apply_selective_routing(k, threshold=0.01)
@@ -192,7 +208,8 @@ class TernaryCrossAttention(nn.Module):
             (1,),
         )
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
-        attn = nn.softmax(scores, axis=-1)
+        attn = nn.softmax(scores.astype(jnp.float32), axis=-1)
+        attn = attn.astype(v.dtype)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(batch, -1, self.hidden_dim)
@@ -201,7 +218,7 @@ class TernaryCrossAttention(nn.Module):
             out = out[:, 0, :]
 
         out = _proj(self.use_rpb, self.hidden_dim, 0.2, initial_sparsity,
-                    "out_proj", self.grad_mode)(out)
+                    "out_proj", self.grad_mode, self.dtype)(out)
         out = _norm(name="layer_norm_out")(out)
 
         gate = self.param(

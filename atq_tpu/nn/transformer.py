@@ -11,6 +11,8 @@ in the FFN.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -27,6 +29,7 @@ class TernaryTransformerLayer(nn.Module):
     sparsity_target: float = 0.3
     layer_idx: int = 0
     grad_mode: str = "parity"
+    dtype: Optional[jnp.dtype] = None  # matmul compute dtype (AMP)
     # Framework extension (0 = reference-parity dense FFN): replace the
     # FFN with a ternary-expert MoE (atq_tpu/parallel/moe.py). Expert
     # planes live on a leading E axis — shard it over an 'expert' mesh
@@ -54,7 +57,7 @@ class TernaryTransformerLayer(nn.Module):
             embed_dim=self.embed_dim, num_heads=self.num_heads,
             dropout=self.dropout, use_rpb=self.use_rpb,
             sparsity_target=initial_sparsity, critical_attention=is_critical,
-            grad_mode=self.grad_mode, name="self_attn",
+            grad_mode=self.grad_mode, dtype=self.dtype, name="self_attn",
         )(src2, src2, src2, attn_mask=src_mask,
           key_padding_mask=src_key_padding_mask, deterministic=deterministic)
         src = src + nn.Dropout(self.dropout)(
@@ -67,12 +70,13 @@ class TernaryTransformerLayer(nn.Module):
             src2 = self._moe_ffn(src2, src_key_padding_mask)
         else:
             h = _proj(self.use_rpb, self.dim_feedforward, precision_ratio,
-                      initial_sparsity, "linear1", self.grad_mode)(src2)
+                      initial_sparsity, "linear1", self.grad_mode,
+                      self.dtype)(src2)
             h = jax.nn.gelu(h, approximate=False)
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
             src2 = _proj(self.use_rpb, self.embed_dim,
                          precision_ratio * 2, initial_sparsity, "linear2",
-                         self.grad_mode)(h)
+                         self.grad_mode, self.dtype)(h)
         src = src + nn.Dropout(self.dropout)(
             src2, deterministic=deterministic
         ) * gate_value

@@ -224,19 +224,16 @@ def build_retrieval_train_step(model, tx, criterion, cl_manager,
                                   jax.random.fold_in(drop_rng, 2))
 
         def loss_fn(p):
+            # AMP note: under cfg.use_amp the MODEL carries
+            # compute_dtype=bfloat16 (torch-autocast semantics,
+            # train_multimodal.py:484-489): master params, quantizer
+            # sort/threshold, and norms stay f32; effective weights and
+            # activations cast to bf16 at each matmul/conv, which also
+            # keeps the f32 Pallas order-statistic kernel on the
+            # threshold path. (A blanket bf16 param-tree cast — the old
+            # approach — ran the weight sorts in bf16, which is neither
+            # faithful to autocast nor fast.)
             apply_images = images
-            if cfg.use_amp:
-                # TPU-native mixed precision: params + activations compute
-                # in bfloat16 (the analog of the reference's torch.amp
-                # autocast, train_multimodal.py:484-489). Gradients flow
-                # back to the f32 master params through the cast. NOTE:
-                # quantization thresholds then also compute in bf16 — the
-                # same precision effect torch autocast has on the
-                # reference's quantizer.
-                p = jax.tree_util.tree_map(
-                    lambda x: x.astype(jnp.bfloat16)
-                    if x.dtype == jnp.float32 else x, p)
-                apply_images = images.astype(jnp.bfloat16)
             mutable = ["batch_stats"]
             if cfg.moe_experts > 0:
                 mutable = ["batch_stats", "intermediates"]
@@ -460,6 +457,9 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
         text_threshold=cfg.text_sparsity, use_residual=cfg.use_residual,
         grad_mode=cfg.grad_mode, max_seq_length=cfg.max_seq_length,
         text_moe_experts=cfg.moe_experts,
+        # --use_amp with torch-autocast semantics: f32 master params and
+        # quantizer thresholds; matmuls/convs compute in bf16.
+        compute_dtype=jnp.bfloat16 if cfg.use_amp else None,
     )
 
     rng = jax.random.PRNGKey(cfg.seed)

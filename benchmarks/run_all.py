@@ -223,7 +223,9 @@ def bench_retrieval(batch=64, image_size=160, use_amp=False):
                           gradual_quant=True, use_amp=use_amp)
     model = ATQMultimodalRetrieval(vocab_size=3000, embed_dim=192,
                                    hidden_dim=384, use_residual=True,
-                                   max_seq_length=50)
+                                   max_seq_length=50,
+                                   compute_dtype=(jnp.bfloat16 if use_amp
+                                                  else None))
     rng = jax.random.PRNGKey(0)
     v = model.init(rng, jnp.zeros((2, image_size, image_size, 3)),
                    jnp.zeros((2, 50), jnp.int32), jnp.asarray([5, 5]))

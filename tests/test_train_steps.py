@@ -111,3 +111,78 @@ def test_visualization_smoke(tmp_path):
     p2 = tmp_path / "ternary.png"
     visualize_ternary_weights(params, "classifier_0", out_path=str(p2))
     assert p2.exists()
+
+
+def test_amp_autocast_semantics():
+    """--use_amp follows torch-autocast semantics: master params and the
+    quantizer threshold stay f32 (the ternary pattern is bitwise identical
+    to the fp32 run), while matmuls/convs compute in bf16 — embeddings
+    deviate only at bf16 rounding level and one train step stays finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from atq_tpu.losses.contrastive import (
+        ContrastiveLearningManager,
+        HardNegativeMiningInfoNCE,
+    )
+    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
+    from atq_tpu.nn.layers import TernaryLinear
+    from atq_tpu.train.retrieval import (
+        RetrievalConfig,
+        build_retrieval_train_step,
+        make_retrieval_optimizer,
+    )
+
+    # Layer level: the bf16 layer's output must match quantize-in-f32 math
+    # (pattern identical; only the matmul rounds).
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 64).astype(np.float32))
+    layer32 = TernaryLinear(features=32)
+    v = layer32.init(jax.random.PRNGKey(0), x)
+    y32 = layer32.apply(v, x)
+    y16 = TernaryLinear(features=32, dtype=jnp.bfloat16).apply(v, x)
+    np.testing.assert_allclose(np.asarray(y16, np.float32),
+                               np.asarray(y32), rtol=2e-2, atol=5e-2)
+
+    # Model + step level.
+    rngd = np.random.RandomState(1)
+    img = rngd.randn(4, 32, 32, 3).astype(np.float32)
+    txt = rngd.randint(0, 60, (4, 8)).astype(np.int32)
+    ln = np.full(4, 6, np.int32)
+    outs = {}
+    for amp in (False, True):
+        model = ATQMultimodalRetrieval(
+            vocab_size=60, embed_dim=32, hidden_dim=64, use_residual=True,
+            max_seq_length=8,
+            compute_dtype=jnp.bfloat16 if amp else None)
+        v = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)),
+                       jnp.zeros((2, 8), jnp.int32), jnp.asarray([4, 4]))
+        ie, te = model.apply(v, jnp.asarray(img), jnp.asarray(txt),
+                             jnp.asarray(ln), return_embeddings=True)
+        assert ie.dtype == jnp.float32 and te.dtype == jnp.float32
+        outs[amp] = (np.asarray(ie), np.asarray(te))
+
+        cfg = RetrievalConfig(batch_size=4, image_size=32, embed_dim=32,
+                              hidden_dim=64, use_residual=True,
+                              use_amp=amp, max_seq_length=8)
+        tx = make_retrieval_optimizer(cfg, 10)
+        crit = HardNegativeMiningInfoNCE()
+        mgr = ContrastiveLearningManager(criterion=crit)
+        state = {"params": v["params"], "quant": v.get("quant", {}),
+                 "constants": v.get("constants", {}),
+                 "batch_stats": v.get("batch_stats", {}),
+                 "opt_state": tx.init(v["params"]),
+                 "step": jnp.asarray(0, jnp.int32)}
+        step = jax.jit(build_retrieval_train_step(model, tx, crit, mgr,
+                                                  cfg))
+        s2, loss = step(state,
+                        (jnp.asarray(img), jnp.asarray(txt),
+                         jnp.asarray(ln)),
+                        jnp.float32(0.07), jnp.int32(0),
+                        jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
+        assert all(bool(jnp.all(jnp.isfinite(p)))
+                   for p in jax.tree_util.tree_leaves(s2["params"]))
+
+    # L2-normalized embeddings: bf16 rounding only, no structural drift.
+    np.testing.assert_allclose(outs[True][0], outs[False][0], atol=3e-2)
+    np.testing.assert_allclose(outs[True][1], outs[False][1], atol=6e-2)
