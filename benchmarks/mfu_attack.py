@@ -27,6 +27,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from atq_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()  # persistent XLA compilation cache across retries
+
 
 def build_retrieval_step(batch, image_size=160, use_amp=False,
                          vocab=3000):
