@@ -188,14 +188,19 @@ def _perturbed_copy(model, eps=1e-6, seed=123):
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "use_rpb,distill,use_l1,clip",
+    "use_rpb,distill,use_l1,clip,cosine",
     [
-        (True, True, True, False),   # the README recipe shape (readme.md:110)
-        (True, False, False, True),
-        (False, False, False, False),  # frozen-ternary TernaryLinear path
+        # the README recipe shape (readme.md:110)
+        (True, True, True, False, False),
+        (True, False, False, True, False),
+        # frozen-ternary TernaryLinear path
+        (False, False, False, False, False),
+        # per-step warmup-cosine LR (train.py:77-106, stepped per batch)
+        (True, False, False, False, True),
     ],
 )
-def test_classifier_trajectory_parity(use_rpb, distill, use_l1, clip):
+def test_classifier_trajectory_parity(use_rpb, distill, use_l1, clip,
+                                      cosine):
     from atq_tpu.models.image_classifier import (
         ATQImageClassifier,
         BaselineCNNClassifier,
@@ -224,6 +229,24 @@ def test_classifier_trajectory_parity(use_rpb, distill, use_l1, clip):
     p_opt = torch.optim.Adam(p_model.parameters(), lr=LR,
                              weight_decay=1e-4)
 
+    STEPS_PER_EPOCH = 10  # schedule bookkeeping; 20 steps = warmup region
+    scheds = []
+    if cosine:  # train.py:77-106: LambdaLR stepped per batch
+        import math as _math
+
+        total_steps = STEPS_PER_EPOCH * 20
+        warmup_steps = total_steps // 10
+
+        def lr_lambda(step):
+            if step < warmup_steps:
+                return float(step) / float(max(1, warmup_steps))
+            progress = float(step - warmup_steps) / float(
+                max(1, total_steps - warmup_steps))
+            return max(0.1, 0.5 * (1.0 + _math.cos(_math.pi * progress)))
+
+        scheds = [torch.optim.lr_scheduler.LambdaLR(o, lr_lambda)
+                  for o in (t_opt, t_bopt, p_opt)]
+
     # --- this framework, identical init via interop ---
     # .copy() is load-bearing: .numpy() shares storage with the live torch
     # params, and jnp.asarray on CPU can alias that buffer zero-copy — the
@@ -238,16 +261,17 @@ def test_classifier_trajectory_parity(use_rpb, distill, use_l1, clip):
     cfg = ClassifierConfig(
         use_rpb=use_rpb, distill=distill, use_l1=use_l1, clip_grad=clip,
         epochs=20, learning_rate=LR, device_augment=False,
-        use_cosine_lr=False,
+        use_cosine_lr=cosine,
     )
     atq_model = ATQImageClassifier(
         num_classes=10, input_channels=1, use_rpb=use_rpb,
         sparsity_target=0.3, hidden_size=HIDDEN, dropout_rate=0.0)
     base_model = BaselineCNNClassifier(hidden_size=HIDDEN, dropout_rate=0.0)
     atq_tx = make_optimizer(
-        cfg, steps_per_epoch=1000, weight_decay=1e-4,
+        cfg, steps_per_epoch=STEPS_PER_EPOCH, weight_decay=1e-4,
         decay_mask=ternary_latent_decay_mask(params, quant, "parity"))
-    base_tx = make_optimizer(cfg, steps_per_epoch=1000, clip=False)
+    base_tx = make_optimizer(cfg, steps_per_epoch=STEPS_PER_EPOCH,
+                             clip=False)
 
     state = {
         "atq_params": params,
@@ -277,6 +301,8 @@ def test_classifier_trajectory_parity(use_rpb, distill, use_l1, clip):
             p_model, p_opt, torch.from_numpy(images),
             torch.from_numpy(labels), teacher_logits,
             distill=distill, l1_weight=l1_weight, clip=clip))
+        for sched in scheds:  # per-step LR update (train.py:214-217)
+            sched.step()
         batch = (jnp.asarray(images.transpose(0, 2, 3, 1)),
                  jnp.asarray(labels.astype(np.int32)))
         state, metrics = train_step(state, batch, sparsity_dev, l1_dev, rng)
