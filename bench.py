@@ -16,7 +16,9 @@ Prints ONE JSON line with the classification number as the primary
 metric/value/unit and the retrieval numbers as additional keys.
 """
 
+import argparse
 import json
+import subprocess
 import sys
 import time
 
@@ -26,6 +28,12 @@ BATCH = 256
 WARMUP_STEPS = 3
 MEASURE_STEPS = 30
 TORCH_STEPS = 8
+
+# Watchdog budget for each TPU phase (run in a killable subprocess: a
+# wedged axon tunnel blocks inside C code, so SIGALRM in-process would
+# never fire — the child must be SIGKILLed from outside).
+PHASE_TIMEOUT_S = 720
+RETRY_SLEEP_S = 180
 
 
 def bench_tpu() -> float:
@@ -196,11 +204,16 @@ def bench_torch_cpu() -> float:
     return BATCH * TORCH_STEPS / dt
 
 
-def bench_retrieval_tpu(batch=64, image_size=160):
+def bench_retrieval_tpu(batch=64, image_size=160, use_amp=False,
+                        measure_infer=True):
     """BASELINE.md's second headline metric: Flickr8k retrieval training
     pairs/sec (the README recipe's gradual-quant config at batch 64) plus
     single-sample inference latency (the reference's only published
-    retrieval perf number: ~195-277 ms/sample, readme.md:31)."""
+    retrieval perf number: ~195-277 ms/sample, readme.md:31).
+
+    With ``use_amp``/``batch=128`` this doubles as the tuned-config
+    measurement from the round-3 MFU attack (benchmarks/mfu_attack.py:
+    batch 128 + bf16 AMP is the throughput/MFU sweet spot)."""
     import jax
     import jax.numpy as jnp
 
@@ -219,10 +232,12 @@ def bench_retrieval_tpu(batch=64, image_size=160):
 
     cfg = RetrievalConfig(batch_size=batch, image_size=image_size,
                           embed_dim=192, hidden_dim=384, use_residual=True,
-                          gradual_quant=True)
+                          gradual_quant=True, use_amp=use_amp)
     model = ATQMultimodalRetrieval(vocab_size=3000, embed_dim=192,
                                    hidden_dim=384, use_residual=True,
-                                   max_seq_length=50)
+                                   max_seq_length=50,
+                                   compute_dtype=(jnp.bfloat16 if use_amp
+                                                  else None))
     rng = jax.random.PRNGKey(0)
     v = model.init(rng, jnp.zeros((2, image_size, image_size, 3)),
                    jnp.zeros((2, 50), jnp.int32), jnp.asarray([5, 5]))
@@ -258,6 +273,8 @@ def bench_retrieval_tpu(batch=64, image_size=160):
         lambda s: step(s, batch_data, temp, stage, key), state, (),
         warmup=3, iters=10)
     pairs_per_sec = batch / dt
+    if not measure_infer:
+        return pairs_per_sec, float("nan")
 
     embed = jax.jit(build_embed_fn(model), static_argnames=("use_ema",))
     one = (batch_data[0][:1], batch_data[1][:1], batch_data[2][:1])
@@ -270,29 +287,113 @@ def bench_retrieval_tpu(batch=64, image_size=160):
     return pairs_per_sec, infer_ms
 
 
+def _run_phase(phase, attempts=2):
+    """Run one TPU benchmark phase in a killable subprocess.
+
+    The axon tunnel can wedge mid-call; a wedged jax call blocks inside
+    native code, so the only reliable watchdog is an external timeout +
+    SIGKILL. Retries once after a cooldown (wedges are transient)."""
+    for i in range(attempts):
+        if i:
+            time.sleep(RETRY_SLEEP_S)
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--phase", phase],
+                capture_output=True, text=True, timeout=PHASE_TIMEOUT_S,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# bench phase {phase}: attempt {i + 1} timed out "
+                  f"after {PHASE_TIMEOUT_S}s", file=sys.stderr)
+            continue
+        if out.returncode == 0:
+            for line in reversed(out.stdout.strip().splitlines()):
+                try:
+                    return json.loads(line)
+                except ValueError:
+                    continue
+        print(f"# bench phase {phase}: attempt {i + 1} failed "
+              f"(rc={out.returncode}): {out.stderr.strip()[-500:]}",
+              file=sys.stderr)
+    return None
+
+
 def main():
-    tpu_throughput = bench_tpu()
+    res_t = _run_phase("tpu")
+    # If the classifier phase never came back the chip is wedged; don't
+    # burn another retry cycle on the retrieval phase.
+    res_r = _run_phase("retrieval", attempts=1 if res_t is None else 2)
     torch_throughput = bench_torch_cpu()
+
+    if res_t is None and res_r is None:
+        print(json.dumps({
+            "metric": "fashion_mnist_atq_train_throughput",
+            "value": None, "unit": "imgs/sec/chip", "vs_baseline": None,
+            "error": "TPU benchmark timed out on every attempt "
+                     "(axon tunnel wedged); no number is honest here",
+        }))
+        return
+
+    tpu_throughput = res_t["throughput"] if res_t else float("nan")
     vs_baseline = (tpu_throughput / torch_throughput
-                   if np.isfinite(torch_throughput) and torch_throughput > 0
+                   if np.isfinite(tpu_throughput)
+                   and np.isfinite(torch_throughput) and torch_throughput > 0
                    else None)
-    pairs_per_sec, infer_ms = bench_retrieval_tpu()
+    pairs_per_sec, infer_ms = (
+        (res_r["pairs_per_sec"], res_r["infer_ms"]) if res_r
+        else (float("nan"), float("nan")))
     # The reference publishes only retrieval inference latency
     # (~195-277 ms/sample, readme.md:31, MPS/CPU-class hardware).
     ref_infer_ms = (195.0 + 277.0) / 2
-    print(json.dumps({
+
+    def _r(x, nd):
+        return round(x, nd) if x is not None and np.isfinite(x) else None
+
+    record = {
         "metric": "fashion_mnist_atq_train_throughput",
-        "value": round(tpu_throughput, 1),
+        "value": _r(tpu_throughput, 1),
         "unit": "imgs/sec/chip",
-        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "vs_baseline": _r(vs_baseline, 2),
         "vs_baseline_kind": "in-process torch-CPU equivalent train step "
                             "(not the actual reference train.py)",
-        "retrieval_train_pairs_per_sec": round(pairs_per_sec, 1),
-        "retrieval_infer_ms_per_sample": round(infer_ms, 2),
-        "retrieval_infer_vs_published": round(ref_infer_ms / infer_ms, 1),
+        "retrieval_train_pairs_per_sec": _r(pairs_per_sec, 1),
+        "retrieval_tuned_pairs_per_sec": _r(
+            res_r.get("tuned_pairs_per_sec", float("nan"))
+            if res_r else float("nan"), 1),
+        "retrieval_tuned_config": "batch 128 + bf16 AMP "
+                                  "(benchmarks/mfu_attack.json)",
+        "retrieval_infer_ms_per_sample": _r(infer_ms, 2),
+        "retrieval_infer_vs_published": _r(
+            ref_infer_ms / infer_ms if np.isfinite(infer_ms) and infer_ms > 0
+            else None, 1),
         "retrieval_published_ref_ms": "195-277 (readme.md:31, MPS/CPU)",
-    }))
+    }
+    if res_t is None or res_r is None:
+        record["error"] = ("partial result: phase "
+                           + ("tpu" if res_t is None else "retrieval")
+                           + " timed out (axon tunnel wedge)")
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", choices=["tpu", "retrieval"], default=None,
+                    help="internal: run one TPU phase and print its JSON")
+    a = ap.parse_args()
+    if a.phase == "tpu":
+        print(json.dumps({"throughput": bench_tpu()}))
+    elif a.phase == "retrieval":
+        p, ms = bench_retrieval_tpu()
+        # Tuned config from the round-3 MFU sweep (batch 128 + bf16 AMP;
+        # benchmarks/mfu_attack.json): the framework's best-throughput
+        # point, reported alongside the reference-recipe number above.
+        try:
+            tuned, _ = bench_retrieval_tpu(batch=128, use_amp=True,
+                                           measure_infer=False)
+        except Exception as e:  # the recipe number still stands alone
+            print(f"# tuned-config measurement failed: {e}",
+                  file=sys.stderr)
+            tuned = float("nan")
+        print(json.dumps({"pairs_per_sec": p, "infer_ms": ms,
+                          "tuned_pairs_per_sec": tuned}))
+    else:
+        main()
