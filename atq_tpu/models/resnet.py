@@ -23,6 +23,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from atq_tpu.ops.fast_pool import max_pool as atq_max_pool
+
 _BN = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5,
               dtype=jnp.float32)
 
@@ -99,7 +101,11 @@ class ResNetFeatures(nn.Module):
                     dtype=self.dtype, name="conv1")(x)
         x = _BN(use_running_average=not train, name="bn1")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        # Stem pool: the profiled hot spot of the retrieval step (XLA's
+        # select-and-scatter backward); ATQ_FAST_POOL=1 swaps in the
+        # dense backward (atq_tpu/ops/fast_pool.py), off the parity path.
+        x = atq_max_pool(x, (3, 3), strides=(2, 2),
+                         padding=((1, 1), (1, 1)))
         for stage, num_blocks in enumerate(self.stage_sizes):
             features = self.width * (2 ** stage)
             for block_idx in range(num_blocks):
