@@ -44,7 +44,8 @@ def main():
     ap.add_argument("--amp", action="store_true", default=True)
     ap.add_argument("--no-amp", dest="amp", action="store_false")
     ap.add_argument("--out", type=str,
-                    default="benchmarks/fastpool_ab.json")
+                    default=os.path.join(os.path.dirname(
+                        os.path.abspath(__file__)), "fastpool_ab.json"))
     args = ap.parse_args()
 
     results = {}
