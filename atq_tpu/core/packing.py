@@ -187,3 +187,48 @@ def unpack_planar(packed: jax.Array, in_features: int, dtype=jnp.float32):
     quarters = (packed[:, None, :] >> shifts[None, :, None]) & jnp.uint8(0x3)
     full = quarters.reshape(packed.shape[0], -1)
     return full[:, :in_features].astype(dtype) - 1.0
+
+
+def pack_planar32(ternary_weights: jax.Array,
+                  k_align: int = 2048) -> jax.Array:
+    """Planar 2-bit packing into int32 lanes (16 values per word).
+
+    Same bits-per-weight as :func:`pack_planar`, but the storage word is
+    int32 — the TPU's native lane width. Sub-32-bit vector ops (the uint8
+    shift/mask decode) run on an emulated narrow-lane path in both Mosaic
+    and XLA; packing into int32 keeps every decode op on the native path.
+    Added while chasing the nondeterministic packed-serving worker crash
+    (benchmarks/config4_soak.py): the uint8 planes + uint16 indices were
+    the only exotic-dtype device buffers in the program.
+
+    Layout: K is zero-padded to a multiple of ``k_align`` and split into
+    16 contiguous sixteenths; bit field f (bits 2f..2f+1) of word j holds
+    sixteenth f's value at offset j. Decoding field f yields a CONTIGUOUS
+    (N, K/16) block, so a kernel contracts it against the matching
+    contiguous x slab — shifts/masks/static slices only, like the uint8
+    planar layout.
+    """
+    out_features, in_features = ternary_weights.shape
+    k_pad = (-in_features) % k_align
+    w = ternary_weights
+    if k_pad:
+        w = jnp.pad(w, ((0, 0), (0, k_pad)), constant_values=0.0)
+    k16 = w.shape[1] // 16
+    fields = (w + 1).astype(jnp.int32).reshape(out_features, 16, k16)
+    shifts = jnp.arange(16, dtype=jnp.int32) * 2
+    return jnp.bitwise_or.reduce(fields << shifts[None, :, None],
+                                 axis=1).astype(jnp.int32)
+
+
+# Encoded all-zeros word for padding rows of a planar32 matrix: every
+# 2-bit field = 0b01 (the encoding of 0).
+PLANAR32_ZERO_WORD = int(np.int32(0x55555555))
+
+
+def unpack_planar32(packed: jax.Array, in_features: int,
+                    dtype=jnp.float32):
+    """Inverse of :func:`pack_planar32` (drops the K padding)."""
+    shifts = jnp.arange(16, dtype=jnp.int32) * 2
+    fields = (packed[:, None, :] >> shifts[None, :, None]) & jnp.int32(0x3)
+    full = fields.reshape(packed.shape[0], -1)
+    return full[:, :in_features].astype(dtype) - 1.0

@@ -24,9 +24,33 @@ import jax.numpy as jnp
 import numpy as np
 
 from atq_tpu.ops.fast_pool import max_pool as atq_max_pool
+from atq_tpu.ops.s2d_stem import stem_conv
 
 _BN = partial(nn.BatchNorm, momentum=0.9, epsilon=1e-5,
               dtype=jnp.float32)
+
+
+class StemConv(nn.Module):
+    """The 7x7/stride-2 stem conv with an optional exact space-to-depth
+    rewrite (ATQ_S2D_STEM=1; see atq_tpu/ops/s2d_stem.py).
+
+    Parameter path and init match ``nn.Conv(name="conv1")`` exactly
+    (``conv1/kernel``, lecun-normal, (7, 7, C, features)) so checkpoints
+    and the torchvision importer are unaffected by which path runs.
+    """
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+    use_s2d: Optional[bool] = None  # None -> read ATQ_S2D_STEM
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, x.shape[-1], self.features), jnp.float32)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+        return stem_conv(x, kernel, use_s2d=self.use_s2d)
 
 
 class BasicBlock(nn.Module):
@@ -97,8 +121,7 @@ class ResNetFeatures(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.width, (7, 7), strides=2, padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        x = StemConv(self.width, dtype=self.dtype, name="conv1")(x)
         x = _BN(use_running_average=not train, name="bn1")(x)
         x = nn.relu(x)
         # Stem pool: the profiled hot spot of the retrieval step (XLA's

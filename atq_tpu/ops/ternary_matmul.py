@@ -28,7 +28,13 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from atq_tpu.core.packing import pack_planar, unpack_planar, unpack_rows
+from atq_tpu.core.packing import (
+    PLANAR32_ZERO_WORD,
+    pack_planar,
+    unpack_planar,
+    unpack_planar32,
+    unpack_rows,
+)
 
 # MXU-aligned tiles.
 _TILE_M = 128
@@ -340,20 +346,92 @@ def _pallas_matmul(x, w_packed_planar, w_shape, alpha, asym: bool = False):
     return out[:m, :n]
 
 
+_K_ALIGN32 = 2048  # K padded so K/16 is a whole number of 128-lane vectors
+
+
+def _kernel32(x_ref, wp_ref, alpha_ref, out_ref, *, k16: int,
+              asym: bool = False):
+    """Like :func:`_kernel` but over int32-lane planes (pack_planar32):
+    16 fields per word, each decoding to a contiguous (TILE_N, K/16)
+    block. All decode ops run at the TPU's native 32-bit lane width."""
+    packed = wp_ref[:]  # (TILE_N, k16) int32
+    acc = jnp.zeros((x_ref.shape[0], wp_ref.shape[0]), jnp.float32)
+    for f in range(16):
+        w_f = ((packed >> (2 * f)) & 0x3).astype(jnp.float32) - 1.0
+        if asym:
+            w_f = (alpha_ref[0] * jnp.maximum(w_f, 0.0)
+                   + alpha_ref[1] * jnp.minimum(w_f, 0.0))
+        x_f = x_ref[:, f * k16:(f + 1) * k16]
+        acc = acc + jax.lax.dot_general(
+            x_f, w_f,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[:] = acc if asym else acc * alpha_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("w_shape", "asym"))
+def _pallas_matmul32(x, w_packed32, w_shape, alpha, asym: bool = False):
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, k = w_shape
+    m = x.shape[0]
+    k16 = w_packed32.shape[1]
+    k_padded = 16 * k16
+
+    tile_m = min(_TILE_M, max(8, ((m + 7) // 8) * 8))
+    m_pad = (-m) % tile_m
+    n_pad = (-n) % _TILE_N
+    if k_padded != x.shape[1]:
+        x = jnp.pad(x, ((0, 0), (0, k_padded - x.shape[1])))
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    if n_pad:
+        w_packed32 = jnp.pad(
+            w_packed32, ((0, n_pad), (0, 0)),
+            constant_values=jnp.int32(PLANAR32_ZERO_WORD),
+        )
+    mp, np_ = m + m_pad, n + n_pad
+
+    grid = (mp // tile_m, np_ // _TILE_N)
+    out = pl.pallas_call(
+        functools.partial(_kernel32, k16=k16, asym=asym),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, k_padded), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE_N, k16), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, _TILE_N), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * k_padded,
+            bytes_accessed=mp * k_padded * 4 + np_ * k16 * 4 + mp * np_ * 4,
+            transcendentals=0,
+        ),
+    )(x.astype(jnp.float32), w_packed32,
+      jnp.asarray(alpha, jnp.float32).reshape(-1))
+    return out[:m, :n]
+
+
 def packed_ternary_matmul(x, w_packed, w_shape, alpha=1.0,
                           layout: str = "planar", alpha_neg=None):
     """``x @ unpack(W)^T * alpha`` from packed ternary planes.
 
     Args:
         x: (M, K) activations.
-        w_packed: packed uint8 weights — (N, ceil(K_pad/4)) planar
-            (core.packing.pack_planar, the kernel-native layout), (N,
-            ceil(K/4)) row-interleaved (pack_rows), or a flat
-            reference-format array.
+        w_packed: packed weights — (N, K_pad/4) uint8 planar
+            (core.packing.pack_planar, the kernel-native layout),
+            (N, K_pad/16) int32 planar (pack_planar32, native-lane
+            variant), (N, ceil(K/4)) uint8 row-interleaved (pack_rows),
+            or a flat reference-format uint8 array.
         w_shape: static (N, K) logical weight shape.
         alpha: scalar scale (the TTQ positive scale when ``alpha_neg``
             is given).
-        layout: 'planar' | 'rows' | 'flat'.
+        layout: 'planar' | 'planar32' | 'rows' | 'flat'.
         alpha_neg: optional TTQ negative scale — computes the asymmetric
             ``x @ (alpha·[w=+1] − alpha_neg·[w=−1])^T`` (core/quantize.py
             ternarize_ttq semantics) from the SAME 2-bit planes.
@@ -379,19 +457,31 @@ def packed_ternary_matmul(x, w_packed, w_shape, alpha=1.0,
         layout = "rows"
 
     if pallas_eligible((x.shape[0], k), w_shape):
-        if layout == "rows":
-            # Interleaved -> planar conversion (XLA elementwise, on-device).
-            w_packed = pack_planar(unpack_rows(w_packed, k))
         avec = _alpha_vec(alpha, alpha_neg)
-        k_padded = k + ((-k) % _K_ALIGN)
         tile_m = min(_TILE_M, max(8, ((x.shape[0] + 7) // 8) * 8))
-        if tile_m * k_padded * 4 > _VMEM_X_BUDGET:
-            return _pallas_matmul_kblocked(x, w_packed, (n, k), avec,
-                                           asym=asym).astype(x.dtype)
-        return _pallas_matmul(x, w_packed, (n, k), avec,
-                              asym=asym).astype(x.dtype)
+        if layout == "planar32":
+            k_padded = 16 * w_packed.shape[1]
+            if tile_m * k_padded * 4 <= _VMEM_X_BUDGET:
+                return _pallas_matmul32(x, w_packed, (n, k), avec,
+                                        asym=asym).astype(x.dtype)
+            # No K-blocked int32 variant: decode via XLA below (the
+            # budget is only exceeded for K in the tens of thousands,
+            # beyond any layer this framework serves packed).
+        else:
+            if layout == "rows":
+                # Interleaved -> planar conversion (XLA elementwise,
+                # on-device).
+                w_packed = pack_planar(unpack_rows(w_packed, k))
+            k_padded = k + ((-k) % _K_ALIGN)
+            if tile_m * k_padded * 4 > _VMEM_X_BUDGET:
+                return _pallas_matmul_kblocked(x, w_packed, (n, k), avec,
+                                               asym=asym).astype(x.dtype)
+            return _pallas_matmul(x, w_packed, (n, k), avec,
+                                  asym=asym).astype(x.dtype)
 
-    if layout == "planar":
+    if layout == "planar32":
+        w = unpack_planar32(w_packed, k, dtype=x.dtype)
+    elif layout == "planar":
         w = unpack_planar(w_packed, k, dtype=x.dtype)
     else:
         w = unpack_rows(w_packed, k, dtype=x.dtype)

@@ -32,9 +32,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from atq_tpu.core.packing import pack_planar
+from atq_tpu.core.packing import pack_planar, pack_planar32
 from atq_tpu.core.quantize import adaptive_ternary_quantization
 from atq_tpu.ops.ternary_matmul import packed_ternary_matmul
+
+
+def _pack32() -> bool:
+    """ATQ_PACK32=1 stores the planes as int32 words (16 values/word,
+    core/packing.py:pack_planar32) and the ELL indices as int32 — the
+    native-lane serving variant introduced while chasing the
+    nondeterministic packed-serving worker crash (uint8/uint16 device
+    buffers are the emulated narrow-lane path on TPU). Same 2 bits per
+    weight; read at export time."""
+    import os
+
+    return os.environ.get("ATQ_PACK32", "0") == "1"
 
 
 def _sparse_ell(correction: np.ndarray):
@@ -58,8 +70,11 @@ def _sparse_ell(correction: np.ndarray):
     from atq_tpu.native import sparse_ell
 
     idx, val, coo_row, coo_col, coo_val = sparse_ell(correction, c)
-    idx_dtype = np.uint16 if k <= np.iinfo(np.uint16).max else np.int32
-    row_dtype = np.uint16 if n <= np.iinfo(np.uint16).max else np.int32
+    if _pack32():
+        idx_dtype = row_dtype = np.int32
+    else:
+        idx_dtype = np.uint16 if k <= np.iinfo(np.uint16).max else np.int32
+        row_dtype = np.uint16 if n <= np.iinfo(np.uint16).max else np.int32
     out = {
         "corr_idx": jnp.asarray(idx.astype(idx_dtype)),
         "corr_val": jnp.asarray(val, jnp.bfloat16),
@@ -124,7 +139,7 @@ def _pack_quantized_layer(params: Dict, quant: Optional[Dict],
         jnp.asarray(weight), alpha=jnp.asarray(alpha),
         sparsity_target=sparsity,
     )
-    packed = pack_planar(w_t)
+    packed = pack_planar32(w_t) if _pack32() else pack_planar(w_t)
     entry = {
         "packed": packed,
         "alpha": jnp.asarray(a).reshape(()),
@@ -173,7 +188,8 @@ def packed_linear_apply(entry: Dict, x: jax.Array) -> jax.Array:
     correction dot accumulate in the same VMEM tile)."""
     n, k = entry["shape"]
     alpha_neg = entry.get("alpha_neg")  # TTQ asymmetric scale, else None
-    if "correction" in entry and alpha_neg is None:
+    is_p32 = entry["packed"].dtype == jnp.int32  # pack_planar32 layout
+    if "correction" in entry and alpha_neg is None and not is_p32:
         from atq_tpu.ops.ternary_matmul import packed_ternary_matmul_rpb
 
         y = packed_ternary_matmul_rpb(x, entry["packed"],
@@ -182,8 +198,9 @@ def packed_linear_apply(entry: Dict, x: jax.Array) -> jax.Array:
     else:
         y = packed_ternary_matmul(x, entry["packed"], (n, k),
                                   alpha=entry["alpha"],
+                                  layout="planar32" if is_p32 else "planar",
                                   alpha_neg=alpha_neg)
-        if "correction" in entry:  # dense correction on a TTQ entry
+        if "correction" in entry:  # dense correction (TTQ or planar32)
             y = y + jnp.matmul(x.astype(jnp.float32),
                                entry["correction"].astype(jnp.float32).T
                                ).astype(y.dtype)
@@ -250,7 +267,7 @@ class PackedClassifier:
         """Serving weight bytes: packed planes + corrections + bias."""
         total = 0
         for entry in self.packed.values():
-            total += entry["packed"].size
+            total += entry["packed"].size * entry["packed"].dtype.itemsize
             if "correction" in entry:
                 total += entry["correction"].size * 2
             if "corr_idx" in entry:
@@ -314,7 +331,7 @@ def packed_collection_bytes(packed: Dict) -> int:
         nonlocal total
         if isinstance(node, dict):
             if "packed" in node and "shape" in node:
-                total += node["packed"].size
+                total += node["packed"].size * node["packed"].dtype.itemsize
                 if "correction" in node:
                     total += node["correction"].size * 2
                 for k2 in ("corr_idx", "corr_col", "coo_row", "coo_col"):

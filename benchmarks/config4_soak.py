@@ -30,7 +30,7 @@ _REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
 _RUN_ONE = r"""
 import sys
-sys.path.insert(0, %(repo)r)
+sys.path.insert(0, __REPO__)
 from atq_tpu.utils.platform import apply_platform_env
 apply_platform_env()
 import numpy as np
@@ -88,6 +88,9 @@ def main():
                     default="benchmarks/config4_soak.jsonl")
     ap.add_argument("--no-pallas", action="store_true",
                     help="soak the ATQ_NO_PALLAS=1 (pure XLA) variant")
+    ap.add_argument("--pack32", action="store_true",
+                    help="soak the ATQ_PACK32=1 (int32 native-lane "
+                         "planes) variant")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--run-timeout", type=float, default=420.0)
     args = ap.parse_args()
@@ -99,8 +102,12 @@ def main():
                        if json.loads(line).get("ok"))
         print(f"resuming at {done} clean runs", flush=True)
 
-    extra = {"ATQ_NO_PALLAS": "1"} if args.no_pallas else {}
-    code = _RUN_ONE % {"repo": _REPO}
+    extra = {}
+    if args.no_pallas:
+        extra["ATQ_NO_PALLAS"] = "1"
+    if args.pack32:
+        extra["ATQ_PACK32"] = "1"
+    code = _RUN_ONE.replace("__REPO__", repr(_REPO))
     with open(args.out, "a") as ledger:
         for i in range(done, args.iters):
             t0 = time.time()
@@ -108,7 +115,7 @@ def main():
             ok = rc == 0 and "CONFIG4_OK" in out
             row = {"i": i, "ok": ok, "rc": rc,
                    "sec": round(time.time() - t0, 1),
-                   "no_pallas": args.no_pallas}
+                   "no_pallas": args.no_pallas, "pack32": args.pack32}
             if not ok:
                 row["tail"] = out[-2000:]
             ledger.write(json.dumps(row) + "\n")

@@ -101,3 +101,76 @@ def test_atq_no_pallas_kill_switch(monkeypatch):
     assert not fused_linear._on_tpu()
     monkeypatch.setenv("ATQ_NO_PALLAS", "0")
     assert not ternary_matmul.pallas_disabled()
+
+
+# ---------------------------------------------------------------------------
+# planar32 (int32-lane) packing — the native-lane serving variant
+# ---------------------------------------------------------------------------
+
+def test_planar32_round_trip():
+    from atq_tpu.core.packing import pack_planar32, unpack_planar32
+
+    w = _random_ternary((9, 300), seed=3)
+    packed = pack_planar32(jnp.asarray(w))
+    assert packed.dtype == jnp.int32
+    assert packed.shape == (9, 2048 // 16)  # K padded to 2048, 16/word
+    out = unpack_planar32(packed, 300)
+    np.testing.assert_array_equal(np.asarray(out), w)
+
+
+def test_planar32_zero_word_constant():
+    from atq_tpu.core.packing import PLANAR32_ZERO_WORD, unpack_planar32
+
+    word = jnp.full((1, 1), PLANAR32_ZERO_WORD, jnp.int32)
+    np.testing.assert_array_equal(np.asarray(unpack_planar32(word, 16)),
+                                  np.zeros((1, 16), np.float32))
+
+
+@pytest.mark.parametrize("alpha_neg", [None, 0.7])
+def test_planar32_matmul_matches_dense(alpha_neg):
+    from atq_tpu.core.packing import pack_planar32
+    from atq_tpu.ops.ternary_matmul import packed_ternary_matmul
+
+    rng = np.random.RandomState(11)
+    w = _random_ternary((64, 200), seed=11)
+    x = jnp.asarray(rng.randn(5, 200).astype(np.float32))
+    packed = pack_planar32(jnp.asarray(w))
+    got = packed_ternary_matmul(x, packed, (64, 200), alpha=1.3,
+                                layout="planar32", alpha_neg=alpha_neg)
+    if alpha_neg is None:
+        want = np.asarray(x) @ w.T * 1.3
+    else:
+        w_eff = 1.3 * np.maximum(w, 0) + alpha_neg * np.minimum(w, 0)
+        want = np.asarray(x) @ w_eff.T
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)
+
+
+def test_pack32_export_serves_identically(monkeypatch):
+    """ATQ_PACK32=1 export must serve the same numbers as the uint8 path
+    (same planes, different word width), including the sparse correction."""
+    import jax
+
+    from atq_tpu.serve.packed_model import (
+        pack_quantized_layer,
+        packed_linear_apply,
+    )
+
+    rng = np.random.RandomState(5)
+    n, k = 32, 150
+    weight = rng.randn(n, k).astype(np.float32) * 0.1
+    mask = (rng.rand(n, k) < 0.05).astype(np.float32)
+    params = {"weight": jnp.asarray(weight), "alpha": jnp.asarray(1.1),
+              "bias": jnp.asarray(rng.randn(n).astype(np.float32))}
+    quant = {"sparsity_target": 0.3, "precision_mask": jnp.asarray(mask)}
+    x = jnp.asarray(rng.randn(4, k).astype(np.float32))
+
+    monkeypatch.setenv("ATQ_PACK32", "0")
+    e8 = pack_quantized_layer(params, quant)
+    y8 = packed_linear_apply(e8, x)
+    monkeypatch.setenv("ATQ_PACK32", "1")
+    e32 = pack_quantized_layer(params, quant)
+    assert e32["packed"].dtype == jnp.int32
+    assert e32["corr_idx"].dtype == jnp.int32
+    y32 = packed_linear_apply(e32, x)
+    np.testing.assert_allclose(np.asarray(y32), np.asarray(y8),
+                               rtol=1e-5, atol=1e-4)
