@@ -78,14 +78,31 @@ class BatchServer:
             share one shape (images).
         buckets: sorted lengths for the bucketed field.
         pad_value: padding constant for the bucketed field.
+        fallback_fn: optional second apply path tried when ``apply_fn``
+            raises — e.g. the dense eval path behind the packed kernel.
+            A batch whose primary dispatch fails is re-run on the
+            fallback instead of failing its callers (serving survives a
+            crashy compiled program / restarted TPU worker, the exact
+            failure mode of the packed-serving program on this runtime).
+        max_primary_failures: after this many primary failures the
+            primary is latched OFF and every batch routes straight to
+            the fallback — a repeatedly-crashing program is not worth
+            re-wedging the chip for. ``stats["primary_failures"]`` /
+            ``stats["fallback_batches"]`` expose what happened.
     """
 
     def __init__(self, apply_fn: Callable, max_batch: int = 32,
                  max_wait_ms: float = 2.0, bucket_by: Optional[int] = None,
-                 buckets: Sequence[int] = (), pad_value=0):
+                 buckets: Sequence[int] = (), pad_value=0,
+                 fallback_fn: Optional[Callable] = None,
+                 max_primary_failures: int = 3):
         if bucket_by is not None and not buckets:
             raise ValueError("bucket_by requires buckets")
         self._apply = apply_fn
+        self._fallback = fallback_fn
+        self._max_primary_failures = max_primary_failures
+        self._primary_failures = 0
+        self._primary_disabled = False
         self._max_batch = max_batch
         self._max_wait = max_wait_ms / 1000.0
         self._bucket_by = bucket_by
@@ -101,7 +118,8 @@ class BatchServer:
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._started = False
-        self.stats = {"batches": 0, "requests": 0, "occupancy_sum": 0.0}
+        self.stats = {"batches": 0, "requests": 0, "occupancy_sum": 0.0,
+                      "primary_failures": 0, "fallback_batches": 0}
 
     # -- public API ------------------------------------------------------
 
@@ -212,16 +230,40 @@ class BatchServer:
                                             self._pad_value)
                               for f in fields]
                 stacked.append(np.stack(fields))
-            out = self._apply(*stacked)
-            outs = out if isinstance(out, tuple) else (out,)
-            outs = tuple(np.asarray(o) for o in outs)
+        except Exception as e:  # malformed request batch
+            for req in batch:
+                if not req.future.done():
+                    req.future.set_exception(e)
+            return
+
+        paths = []
+        if not self._primary_disabled:
+            paths.append(("primary", self._apply))
+        if self._fallback is not None:
+            paths.append(("fallback", self._fallback))
+        last_exc: Optional[Exception] = None
+        for name, fn in paths:
+            try:
+                out = fn(*stacked)
+                outs = out if isinstance(out, tuple) else (out,)
+                outs = tuple(np.asarray(o) for o in outs)
+            except Exception as e:
+                last_exc = e
+                if name == "primary":
+                    self._primary_failures += 1
+                    self.stats["primary_failures"] = self._primary_failures
+                    if self._primary_failures >= self._max_primary_failures:
+                        self._primary_disabled = True
+                continue
             for j, req in enumerate(batch):
                 per = tuple(o[j] for o in outs)
                 req.future.set_result(per if len(per) > 1 else per[0])
             self.stats["batches"] += 1
             self.stats["requests"] += len(batch)
             self.stats["occupancy_sum"] += len(batch) / self._max_batch
-        except Exception as e:  # propagate to THIS batch's callers only
-            for req in batch:
-                if not req.future.done():
-                    req.future.set_exception(e)
+            if name == "fallback":
+                self.stats["fallback_batches"] += 1
+            return
+        for req in batch:  # every path failed: THIS batch's callers only
+            if not req.future.done():
+                req.future.set_exception(last_exc)

@@ -186,3 +186,54 @@ def test_lazy_start_and_stopped_rejection():
     srv.stop()
     with pytest.raises(RuntimeError):
         srv.submit(np.ones(2, np.float32))
+
+
+def test_fallback_serves_when_primary_crashes():
+    calls = {"primary": 0, "fallback": 0}
+
+    def primary(x):
+        calls["primary"] += 1
+        raise RuntimeError("TPU worker process crashed or restarted")
+
+    def fallback(x):
+        calls["fallback"] += 1
+        return x * 2.0
+
+    with BatchServer(primary, max_batch=4, max_wait_ms=1,
+                     fallback_fn=fallback,
+                     max_primary_failures=2) as srv:
+        out = srv(np.ones(3, np.float32))
+        np.testing.assert_allclose(out, 2.0 * np.ones(3))
+        assert srv.stats["primary_failures"] == 1
+        assert srv.stats["fallback_batches"] == 1
+        # Second failure latches the primary off...
+        srv(np.ones(3, np.float32))
+        assert srv.stats["primary_failures"] == 2
+        n_primary = calls["primary"]
+        # ...so further batches go straight to the fallback.
+        out = srv(np.ones(3, np.float32))
+        np.testing.assert_allclose(out, 2.0 * np.ones(3))
+        assert calls["primary"] == n_primary
+        assert srv.stats["fallback_batches"] == 3
+
+
+def test_both_paths_failing_hits_only_that_batch():
+    def bad(x):
+        raise RuntimeError("primary down")
+
+    def also_bad(x):
+        raise ValueError("fallback down")
+
+    def good_after(x):
+        return x + 1.0
+
+    srv = BatchServer(bad, max_batch=2, max_wait_ms=1,
+                      fallback_fn=also_bad, max_primary_failures=10)
+    with srv:
+        with pytest.raises(ValueError):
+            srv(np.zeros(2, np.float32))
+        # The server thread survives; swap in a working fallback to show
+        # later batches still serve.
+        srv._fallback = good_after
+        out = srv(np.zeros(2, np.float32))
+    np.testing.assert_allclose(out, np.ones(2))
