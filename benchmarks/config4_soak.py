@@ -47,10 +47,17 @@ served = PackedClassifier(variables["params"], variables["quant"],
                           variables["batch_stats"])
 dense = jax.jit(lambda v, x: model.apply(v, x, train=False))
 ref = jax.device_get(dense(variables, x))
-# 20 dispatches (the crash was nondeterministic, so keep the pressure),
-# one fetch: per-call device_get would add 20 tunnel roundtrips.
-for i in range(20):
+# DISPATCHES back-to-back calls (the crash was nondeterministic, so keep
+# the pressure). SYNC_EVERY=1 blocks on every call — the throttled
+# variant that distinguishes "kernel bug" from "runtime race under
+# rapid micro-program dispatch".
+import os as _os
+dispatches = int(_os.environ.get("ATQ_SOAK_DISPATCHES", "20"))
+sync_every = _os.environ.get("ATQ_SOAK_SYNC", "0") == "1"
+for i in range(dispatches):
     out = served(x)
+    if sync_every:
+        out.block_until_ready()
 out = jax.device_get(out)
 # Correctness gate scaled to the output: the packed kernel computes in
 # bf16 on an untrained random-init model whose logits are O(600), so
@@ -91,6 +98,11 @@ def main():
     ap.add_argument("--pack32", action="store_true",
                     help="soak the ATQ_PACK32=1 (int32 native-lane "
                          "planes) variant")
+    ap.add_argument("--sync-every", action="store_true",
+                    help="block_until_ready after every dispatch "
+                         "(throttled variant: isolates dispatch-rate "
+                         "effects)")
+    ap.add_argument("--dispatches", type=int, default=20)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--run-timeout", type=float, default=420.0)
     args = ap.parse_args()
@@ -102,11 +114,13 @@ def main():
                        if json.loads(line).get("ok"))
         print(f"resuming at {done} clean runs", flush=True)
 
-    extra = {}
+    extra = {"ATQ_SOAK_DISPATCHES": str(args.dispatches)}
     if args.no_pallas:
         extra["ATQ_NO_PALLAS"] = "1"
     if args.pack32:
         extra["ATQ_PACK32"] = "1"
+    if args.sync_every:
+        extra["ATQ_SOAK_SYNC"] = "1"
     code = _RUN_ONE.replace("__REPO__", repr(_REPO))
     with open(args.out, "a") as ledger:
         for i in range(done, args.iters):
@@ -115,7 +129,9 @@ def main():
             ok = rc == 0 and "CONFIG4_OK" in out
             row = {"i": i, "ok": ok, "rc": rc,
                    "sec": round(time.time() - t0, 1),
-                   "no_pallas": args.no_pallas, "pack32": args.pack32}
+                   "no_pallas": args.no_pallas, "pack32": args.pack32,
+                   "sync_every": args.sync_every,
+                   "dispatches": args.dispatches}
             if not ok:
                 row["tail"] = out[-2000:]
             ledger.write(json.dumps(row) + "\n")
