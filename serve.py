@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""Model-serving CLI: checkpoint -> micro-batched HTTP endpoint.
+
+Completes the deployment story the reference only motivates (its
+bit-packing README pitch ends at a latency harness,
+/root/reference/utils/metrics.py:21-57). Loads a trained checkpoint,
+optionally exports every quantized layer to 2-bit planes
+(``--packed``), fronts the jitted forward with the micro-batching
+:class:`BatchServer` (concurrent HTTP requests batch onto the TPU
+automatically), and serves JSON over stdlib HTTP.
+
+With ``--packed`` the dense forward is installed as the engine's
+``fallback_fn``: a batch whose packed dispatch fails (e.g. a crashed
+TPU worker) is re-served dense, and a repeatedly-failing packed program
+is latched off — see atq_tpu/serve/engine.py.
+
+Endpoints:
+  classification: POST /predict {"image": 28x28[x1], "normalize": bool}
+  retrieval:      POST /embed_image {"image": HxWx3, "normalize": bool}
+                  POST /embed_text  {"text": "..."} | {"tokens": [...]}
+  both:           GET /healthz  (engine stats)
+
+Examples:
+  python serve.py --task classification \
+      --checkpoint checkpoints/atq_model_fashion_mnist.npz --use-rpb \
+      --packed --port 8712
+  python serve.py --task retrieval --checkpoint outputs/run/best_model.npz \
+      --use_residual --port 8712
+"""
+
+import argparse
+import json
+import os
+
+from atq_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Serve an ATQ checkpoint")
+    p.add_argument("--task", type=str, required=True,
+                   choices=["classification", "retrieval"])
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--dataset", type=str, default="fashion_mnist",
+                   choices=["mnist", "fashion_mnist"],
+                   help="normalization stats for /predict")
+    p.add_argument("--image_size", type=int, default=160)
+    p.add_argument("--max_seq_length", type=int, default=50)
+    p.add_argument("--embed_dim", type=int, default=192)
+    p.add_argument("--hidden_dim", type=int, default=384)
+    p.add_argument("--use_residual", action="store_true")
+    p.add_argument("--use-rpb", dest="use_rpb", action="store_true")
+    p.add_argument("--wider-layers", dest="wider_layers",
+                   action="store_true")
+    p.add_argument("--moe_experts", type=int, default=0)
+    p.add_argument("--grad-mode", "--grad_mode", dest="grad_mode",
+                   type=str, default="auto",
+                   choices=["auto", "parity", "ste", "ttq"])
+    p.add_argument("--packed", action="store_true",
+                   help="serve from exported 2-bit planes with the dense "
+                        "forward as the engine fallback")
+    p.add_argument("--vocab_file", type=str, default=None,
+                   help="vocab.json (retrieval); defaults to the one "
+                        "next to the checkpoint")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8712)
+    p.add_argument("--max_batch", type=int, default=32)
+    p.add_argument("--max_wait_ms", type=float, default=2.0)
+    return p
+
+
+def build_classifier_routes(args, ckpt, grad_mode):
+    import jax
+
+    from atq_tpu.models.image_classifier import ATQImageClassifier
+    from atq_tpu.serve.engine import BatchServer
+    from atq_tpu.serve.http import make_classifier_routes
+
+    model = ATQImageClassifier(
+        use_rpb=args.use_rpb,
+        hidden_size=256 if args.wider_layers else 128,
+        grad_mode=grad_mode,
+    )
+    variables = {"params": ckpt["params"], "quant": ckpt.get("quant", {}),
+                 "batch_stats": ckpt.get("batch_stats", {})}
+    dense = jax.jit(lambda x: model.apply(variables, x, train=False))
+    primary, fallback = dense, None
+    if args.packed:
+        from atq_tpu.serve.packed_model import export_packed_collection
+
+        packed = export_packed_collection(ckpt["params"],
+                                          ckpt.get("quant"))
+        primary = jax.jit(lambda x: model.apply(
+            {**variables, "packed": packed}, x, train=False))
+        fallback = dense
+    server = BatchServer(primary, max_batch=args.max_batch,
+                         max_wait_ms=args.max_wait_ms,
+                         fallback_fn=fallback).start()
+    return (make_classifier_routes(server, dataset=args.dataset),
+            [server])
+
+
+def build_retrieval_routes(args, ckpt, grad_mode):
+    import jax
+    import jax.numpy as jnp
+
+    from atq_tpu.data.flickr8k import load_vocab_file
+    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
+    from atq_tpu.serve.engine import BatchServer
+    from atq_tpu.serve.http import make_retrieval_routes
+
+    vocab_file = args.vocab_file
+    if vocab_file is None:
+        candidate = os.path.join(os.path.dirname(args.checkpoint),
+                                 "vocab.json")
+        if not os.path.exists(candidate):
+            raise SystemExit("retrieval serving needs a vocab.json "
+                             "(--vocab_file, or next to the checkpoint)")
+        vocab_file = candidate
+    word_to_idx = load_vocab_file(vocab_file)
+
+    model = ATQMultimodalRetrieval(
+        vocab_size=len(word_to_idx), embed_dim=args.embed_dim,
+        hidden_dim=args.hidden_dim, use_residual=args.use_residual,
+        max_seq_length=args.max_seq_length,
+        text_moe_experts=args.moe_experts, grad_mode=grad_mode,
+    )
+    constants = ckpt.get("constants")
+    if not constants:
+        fresh = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, args.image_size, args.image_size, 3)),
+            jnp.zeros((1, args.max_seq_length), jnp.int32),
+            jnp.asarray([5], jnp.int32),
+        )
+        constants = fresh.get("constants", {})
+    variables = {"params": ckpt["params"], "quant": ckpt.get("quant", {}),
+                 "constants": constants,
+                 "batch_stats": ckpt.get("batch_stats", {})}
+    if args.packed:
+        from atq_tpu.serve.packed_model import export_packed_collection
+
+        variables = {**variables,
+                     "packed": export_packed_collection(
+                         ckpt["params"], ckpt.get("quant"))}
+
+    img_fwd = jax.jit(lambda img: model.apply(
+        variables, img, method=ATQMultimodalRetrieval.encode_image))
+    txt_fwd = jax.jit(lambda tok, ln: model.apply(
+        variables, tok, ln, method=ATQMultimodalRetrieval.encode_text))
+    img_server = BatchServer(img_fwd, max_batch=args.max_batch,
+                             max_wait_ms=args.max_wait_ms).start()
+    txt_server = BatchServer(txt_fwd, max_batch=args.max_batch,
+                             max_wait_ms=args.max_wait_ms).start()
+    return (make_retrieval_routes(img_server, txt_server,
+                                  word_to_idx=word_to_idx,
+                                  max_length=args.max_seq_length),
+            [img_server, txt_server])
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from atq_tpu.serve.http import make_http_server
+    from atq_tpu.train.classifier import load_checkpoint
+    from evaluate import resolve_grad_mode
+
+    ckpt = load_checkpoint(args.checkpoint)
+    grad_mode = resolve_grad_mode(args.grad_mode, ckpt.get("params", {}))
+
+    if args.task == "classification":
+        routes, servers = build_classifier_routes(args, ckpt, grad_mode)
+    else:
+        routes, servers = build_retrieval_routes(args, ckpt, grad_mode)
+
+    def stats():
+        return {f"server_{i}": s.stats for i, s in enumerate(servers)}
+
+    httpd = make_http_server(routes, host=args.host, port=args.port,
+                             stats_fn=stats)
+    host, port = httpd.server_address[:2]
+    print(json.dumps({"serving": args.task, "host": host, "port": port,
+                      "routes": sorted(routes), "packed": args.packed,
+                      "grad_mode": grad_mode}), flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        for s in servers:
+            s.stop()
+
+
+if __name__ == "__main__":
+    main()
