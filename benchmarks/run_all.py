@@ -268,6 +268,14 @@ def main():
     parser.add_argument("--only", type=str, default=None,
                         help="comma-separated config keys to run (e.g. "
                              "'config4'); default = all")
+    parser.add_argument("--with-config4", action="store_true",
+                        help="include config4 (packed inference). "
+                             "EXCLUDED by default: the round-3 "
+                             "investigation (BENCHMARKS.md) showed this "
+                             "program destabilizes the tunneled axon "
+                             "worker even on successful runs, wedging "
+                             "the chip for 1-2 h. Its last good numbers "
+                             "are recorded in BENCHMARKS.md.")
     args = parser.parse_args()
 
     import jax
@@ -296,6 +304,11 @@ def main():
         wanted = [w.strip() for w in args.only.split(",")]
         configs = [c for c in configs
                    if any(c[0].startswith(w) for w in wanted)]
+    elif not args.with_config4:
+        configs = [c for c in configs
+                   if c[0] != "config4_packed_inference"]
+        print("# config4 skipped by default (wedges the axon worker; "
+              "--with-config4 or --only config4 to run)", flush=True)
 
     results = {"backend": jax.default_backend(),
                "device": str(jax.devices()[0])}
