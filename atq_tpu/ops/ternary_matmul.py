@@ -346,9 +346,6 @@ def _pallas_matmul(x, w_packed_planar, w_shape, alpha, asym: bool = False):
     return out[:m, :n]
 
 
-_K_ALIGN32 = 2048  # K padded so K/16 is a whole number of 128-lane vectors
-
-
 def _kernel32(x_ref, wp_ref, alpha_ref, out_ref, *, k16: int,
               asym: bool = False):
     """Like :func:`_kernel` but over int32-lane planes (pack_planar32):

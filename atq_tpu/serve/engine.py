@@ -84,11 +84,18 @@ class BatchServer:
             fallback instead of failing its callers (serving survives a
             crashy compiled program / restarted TPU worker, the exact
             failure mode of the packed-serving program on this runtime).
-        max_primary_failures: after this many primary failures the
-            primary is latched OFF and every batch routes straight to
-            the fallback — a repeatedly-crashing program is not worth
-            re-wedging the chip for. ``stats["primary_failures"]`` /
-            ``stats["fallback_batches"]`` expose what happened.
+        max_primary_failures: after this many CONSECUTIVE
+            fallback-confirmed primary failures (the primary raised but
+            the fallback served the very same batch — so the program,
+            not the input, is at fault) the primary is latched OFF and
+            every batch routes straight to the fallback — a
+            repeatedly-crashing program is not worth re-wedging the chip
+            for. A primary success resets the count; a batch that fails
+            on BOTH paths is treated as a bad input and charged to
+            neither; without a ``fallback_fn`` the primary is never
+            latched off (there would be nothing left to serve with).
+            ``stats["primary_failures"]`` / ``stats["fallback_batches"]``
+            expose what happened.
     """
 
     def __init__(self, apply_fn: Callable, max_batch: int = 32,
@@ -237,11 +244,14 @@ class BatchServer:
             return
 
         paths = []
-        if not self._primary_disabled:
+        if not self._primary_disabled or self._fallback is None:
+            # With no fallback the primary is all there is — never skip
+            # it, even after repeated failures.
             paths.append(("primary", self._apply))
         if self._fallback is not None:
             paths.append(("fallback", self._fallback))
         last_exc: Optional[Exception] = None
+        primary_failed = False
         for name, fn in paths:
             try:
                 out = fn(*stacked)
@@ -250,11 +260,18 @@ class BatchServer:
             except Exception as e:
                 last_exc = e
                 if name == "primary":
-                    self._primary_failures += 1
-                    self.stats["primary_failures"] = self._primary_failures
-                    if self._primary_failures >= self._max_primary_failures:
-                        self._primary_disabled = True
+                    primary_failed = True
+                    self.stats["primary_failures"] += 1
                 continue
+            if name == "primary":
+                self._primary_failures = 0  # consecutive count resets
+            elif primary_failed:
+                # The fallback served the exact batch the primary choked
+                # on: the program (not the input) is at fault. Latch the
+                # primary off after max_primary_failures in a row.
+                self._primary_failures += 1
+                if self._primary_failures >= self._max_primary_failures:
+                    self._primary_disabled = True
             for j, req in enumerate(batch):
                 per = tuple(o[j] for o in outs)
                 req.future.set_result(per if len(per) > 1 else per[0])
@@ -264,6 +281,8 @@ class BatchServer:
             if name == "fallback":
                 self.stats["fallback_batches"] += 1
             return
+        if last_exc is None:  # defensive: paths can never be empty
+            last_exc = RuntimeError("BatchServer has no serving path")
         for req in batch:  # every path failed: THIS batch's callers only
             if not req.future.done():
                 req.future.set_exception(last_exc)

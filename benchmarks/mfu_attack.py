@@ -31,63 +31,8 @@ from atq_tpu.utils.platform import apply_platform_env  # noqa: E402
 
 apply_platform_env()  # persistent XLA compilation cache across retries
 
-
-def build_retrieval_step(batch, image_size=160, use_amp=False,
-                         vocab=3000):
-    """Config-5 step exactly as benchmarks/run_all.py builds it."""
-    import jax
-    import jax.numpy as jnp
-
-    from atq_tpu.losses.contrastive import (
-        ContrastiveLearningManager,
-        HardNegativeMiningInfoNCE,
-    )
-    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
-    from atq_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-    from atq_tpu.train.retrieval import (
-        RetrievalConfig,
-        build_retrieval_train_step,
-        make_retrieval_optimizer,
-    )
-
-    cfg = RetrievalConfig(batch_size=batch, image_size=image_size,
-                          embed_dim=192, hidden_dim=384, use_residual=True,
-                          gradual_quant=True, use_amp=use_amp)
-    model = ATQMultimodalRetrieval(vocab_size=vocab, embed_dim=192,
-                                   hidden_dim=384, use_residual=True,
-                                   max_seq_length=50,
-                                   compute_dtype=(jnp.bfloat16 if use_amp
-                                                  else None))
-    v = model.init(jax.random.PRNGKey(0),
-                   jnp.zeros((2, image_size, image_size, 3)),
-                   jnp.zeros((2, 50), jnp.int32), jnp.asarray([5, 5]))
-    tx = make_retrieval_optimizer(cfg, 100)
-    crit = HardNegativeMiningInfoNCE()
-    mgr = ContrastiveLearningManager(criterion=crit)
-    mesh = make_mesh()
-    state = replicate({
-        "params": v["params"], "quant": v.get("quant", {}),
-        "constants": v.get("constants", {}),
-        "batch_stats": v.get("batch_stats", {}),
-        "opt_state": tx.init(v["params"]),
-        "step": jnp.asarray(0, jnp.int32),
-    }, mesh)
-    step = jax.jit(build_retrieval_train_step(model, tx, crit, mgr, cfg),
-                   donate_argnums=(0,))
-    rngd = np.random.RandomState(0)
-    batch_data = shard_batch(
-        (rngd.randn(batch, image_size, image_size, 3).astype(np.float32),
-         rngd.randint(0, vocab, (batch, 50)).astype(np.int32),
-         np.full(batch, 20, np.int32)), mesh,
-    )
-    temp = jnp.float32(0.07)
-    stage = jnp.int32(0)
-    key = jax.random.PRNGKey(1)
-
-    def step_fn(state, *args):
-        return step(state, batch_data, temp, stage, key)
-
-    return step, step_fn, state, (batch_data, temp, stage, key)
+from builders import build_retrieval_step  # noqa: E402,F401  (canonical
+# config-5 step construction shared with run_all.py and the A/B harnesses)
 
 
 def measure(batch, use_amp, iters=10):

@@ -203,59 +203,13 @@ def bench_packed_inference(batch=64):
 
 
 def bench_retrieval(batch=64, image_size=160, use_amp=False):
-    import jax
-    import jax.numpy as jnp
+    # Canonical config-5 construction shared with mfu_attack.py and the
+    # A/B harnesses; per-call constants are device-resident inside it
+    # (see bench_classifier note).
+    from builders import build_retrieval_step
 
-    from atq_tpu.losses.contrastive import (
-        ContrastiveLearningManager,
-        HardNegativeMiningInfoNCE,
-    )
-    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
-    from atq_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-    from atq_tpu.train.retrieval import (
-        RetrievalConfig,
-        build_retrieval_train_step,
-        make_retrieval_optimizer,
-    )
-
-    cfg = RetrievalConfig(batch_size=batch, image_size=image_size,
-                          embed_dim=192, hidden_dim=384, use_residual=True,
-                          gradual_quant=True, use_amp=use_amp)
-    model = ATQMultimodalRetrieval(vocab_size=3000, embed_dim=192,
-                                   hidden_dim=384, use_residual=True,
-                                   max_seq_length=50,
-                                   compute_dtype=(jnp.bfloat16 if use_amp
-                                                  else None))
-    rng = jax.random.PRNGKey(0)
-    v = model.init(rng, jnp.zeros((2, image_size, image_size, 3)),
-                   jnp.zeros((2, 50), jnp.int32), jnp.asarray([5, 5]))
-    tx = make_retrieval_optimizer(cfg, 100)
-    crit = HardNegativeMiningInfoNCE()
-    mgr = ContrastiveLearningManager(criterion=crit)
-    mesh = make_mesh()
-    state = replicate({
-        "params": v["params"], "quant": v.get("quant", {}),
-        "constants": v.get("constants", {}),
-        "batch_stats": v.get("batch_stats", {}),
-        "opt_state": tx.init(v["params"]),
-        "step": jnp.asarray(0, jnp.int32),
-    }, mesh)
-    step = jax.jit(build_retrieval_train_step(model, tx, crit, mgr, cfg),
-                   donate_argnums=(0,))
-    rngd = np.random.RandomState(0)
-    batch_data = shard_batch(
-        (rngd.randn(batch, image_size, image_size, 3).astype(np.float32),
-         rngd.randint(0, 3000, (batch, 50)).astype(np.int32),
-         np.full(batch, 20, np.int32)), mesh,
-    )
-
-    # Device-resident per-call constants (see bench_classifier note).
-    temp = jnp.float32(0.07)
-    stage = jnp.int32(0)
-    key = jax.random.PRNGKey(1)
-
-    def step_fn(state, *args):
-        return step(state, batch_data, temp, stage, key)
+    step, step_fn, state, (batch_data, temp, stage, key) = (
+        build_retrieval_step(batch, image_size=image_size, use_amp=use_amp))
 
     dt = _steady_state(step_fn, state, (), warmup=3, iters=10)
     return _add_mfu({"ms_per_step": dt * 1000, "pairs_per_sec": batch / dt},

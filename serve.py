@@ -135,24 +135,36 @@ def build_retrieval_routes(args, ckpt, grad_mode):
             jnp.asarray([5], jnp.int32),
         )
         constants = fresh.get("constants", {})
-    variables = {"params": ckpt["params"], "quant": ckpt.get("quant", {}),
-                 "constants": constants,
-                 "batch_stats": ckpt.get("batch_stats", {})}
+    dense_vars = {"params": ckpt["params"], "quant": ckpt.get("quant", {}),
+                  "constants": constants,
+                  "batch_stats": ckpt.get("batch_stats", {})}
+
+    def encoders(variables):
+        img = jax.jit(lambda im: model.apply(
+            variables, im, method=ATQMultimodalRetrieval.encode_image))
+        txt = jax.jit(lambda tok, ln: model.apply(
+            variables, tok, ln, method=ATQMultimodalRetrieval.encode_text))
+        return img, txt
+
+    img_fwd, txt_fwd = encoders(dense_vars)
+    img_fallback = txt_fallback = None
     if args.packed:
         from atq_tpu.serve.packed_model import export_packed_collection
 
-        variables = {**variables,
-                     "packed": export_packed_collection(
-                         ckpt["params"], ckpt.get("quant"))}
-
-    img_fwd = jax.jit(lambda img: model.apply(
-        variables, img, method=ATQMultimodalRetrieval.encode_image))
-    txt_fwd = jax.jit(lambda tok, ln: model.apply(
-        variables, tok, ln, method=ATQMultimodalRetrieval.encode_text))
+        packed_vars = {**dense_vars,
+                       "packed": export_packed_collection(
+                           ckpt["params"], ckpt.get("quant"))}
+        # Dense forward becomes the fallback (module docstring contract):
+        # a packed-program crash re-serves the batch dense, and a
+        # repeatedly-crashing packed program is latched off.
+        img_fallback, txt_fallback = img_fwd, txt_fwd
+        img_fwd, txt_fwd = encoders(packed_vars)
     img_server = BatchServer(img_fwd, max_batch=args.max_batch,
-                             max_wait_ms=args.max_wait_ms).start()
+                             max_wait_ms=args.max_wait_ms,
+                             fallback_fn=img_fallback).start()
     txt_server = BatchServer(txt_fwd, max_batch=args.max_batch,
-                             max_wait_ms=args.max_wait_ms).start()
+                             max_wait_ms=args.max_wait_ms,
+                             fallback_fn=txt_fallback).start()
     return (make_retrieval_routes(img_server, txt_server,
                                   word_to_idx=word_to_idx,
                                   max_length=args.max_seq_length),

@@ -237,3 +237,55 @@ def test_both_paths_failing_hits_only_that_batch():
         srv._fallback = good_after
         out = srv(np.zeros(2, np.float32))
     np.testing.assert_allclose(out, np.ones(2))
+
+
+def test_no_fallback_never_latches_off_the_primary():
+    """Regression: with no fallback_fn, repeated primary failures used to
+    latch the primary off, leaving an empty path list whose
+    set_exception(None) made every later Future silently resolve to None
+    (a 200 response with a null body). The primary must keep being tried
+    and every caller must get a real exception."""
+    calls = {"n": 0}
+
+    def flaky(x):
+        calls["n"] += 1
+        if calls["n"] <= 5:
+            raise RuntimeError("transient crash")
+        return x + 1.0
+
+    with BatchServer(flaky, max_batch=1, max_wait_ms=1,
+                     max_primary_failures=2) as srv:
+        for _ in range(5):  # well past max_primary_failures
+            with pytest.raises(RuntimeError, match="transient crash"):
+                srv(np.zeros(2, np.float32))
+        # Primary was never latched off: once it heals, it serves again.
+        out = srv(np.zeros(2, np.float32))
+    np.testing.assert_allclose(out, np.ones(2))
+    assert srv.stats["primary_failures"] == 5
+
+
+def test_poison_inputs_do_not_latch_off_the_primary():
+    """Input-induced failures (both paths fail the same batch) must not
+    count toward the latch: 3 bad client requests must not permanently
+    abandon the packed program for the dense fallback."""
+
+    def primary(x):
+        if x.shape[-1] != 2:
+            raise RuntimeError("wrong shape for compiled program")
+        return x * 10.0
+
+    def fallback(x):
+        if x.shape[-1] != 2:
+            raise ValueError("wrong shape here too")
+        return x * 2.0
+
+    with BatchServer(primary, max_batch=1, max_wait_ms=1,
+                     fallback_fn=fallback,
+                     max_primary_failures=2) as srv:
+        for _ in range(4):  # poison requests, both paths fail
+            with pytest.raises(ValueError):
+                srv(np.zeros(3, np.float32))
+        # A good request still runs on the PRIMARY (not latched off).
+        out = srv(np.ones(2, np.float32))
+    np.testing.assert_allclose(out, 10.0 * np.ones(2))
+    assert srv.stats["fallback_batches"] == 0
