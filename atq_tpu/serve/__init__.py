@@ -1,4 +1,5 @@
 from atq_tpu.serve.engine import BatchServer, pad_to_bucket, pick_bucket
+from atq_tpu.serve.index import EmbeddingIndex
 from atq_tpu.serve.packed_model import (
     pack_quantized_params,
     packed_linear_apply,
@@ -7,6 +8,7 @@ from atq_tpu.serve.packed_model import (
 
 __all__ = [
     "BatchServer",
+    "EmbeddingIndex",
     "pad_to_bucket",
     "pick_bucket",
     "pack_quantized_params",

@@ -177,3 +177,43 @@ def make_retrieval_routes(image_server, text_server,
         return {"embedding": emb.tolist(), "length": length}
 
     return {"/embed_image": embed_image, "/embed_text": embed_text}
+
+
+def make_search_routes(index, embed_routes: Dict[str, Callable]
+                       ) -> Dict[str, Callable]:
+    """Corpus-side retrieval on top of the embed routes.
+
+    ``index`` is an :class:`~atq_tpu.serve.index.EmbeddingIndex`;
+    ``embed_routes`` the dict from :func:`make_retrieval_routes` (the
+    embeds go through the same micro-batched servers, so concurrent
+    index/search traffic batches onto the TPU like everything else).
+
+    - ``POST /index/add {"id": "...", "image": ...}`` (or
+      ``"text"``/``"tokens"``) — embed and add to the corpus.
+    - ``POST /search {"text": "...", "k": 5}`` (or ``"image"``/
+      ``"tokens"``) — top-k corpus ids by cosine score.
+    """
+
+    def _embed(payload) -> np.ndarray:
+        if "image" in payload:
+            out = embed_routes["/embed_image"](payload)
+        elif "text" in payload or "tokens" in payload:
+            out = embed_routes["/embed_text"](payload)
+        else:
+            raise ValueError("payload needs 'image', 'text' or 'tokens'")
+        return np.asarray(out["embedding"], np.float32)
+
+    def index_add(payload):
+        if "id" not in payload:
+            raise ValueError("payload needs 'id'")
+        count = index.add([str(payload["id"])], _embed(payload)[None, :])
+        return {"count": count}
+
+    def search(payload):
+        emb = _embed(payload)
+        ids, scores = index.search(emb, k=int(payload.get("k", 5)))
+        return {"results": [{"id": i, "score": float(s)}
+                            for i, s in zip(ids, scores)],
+                "count": len(index)}
+
+    return {"/index/add": index_add, "/search": search}

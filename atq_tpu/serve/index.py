@@ -1,0 +1,178 @@
+"""Device-resident embedding index: corpus-side retrieval serving.
+
+Completes the retrieval deployment story. The reference's protocol
+scores a full corpus-by-corpus similarity matrix on the host at eval
+time (/root/reference/train_multimodal.py:197-241,:23-90); serving needs
+the inverse — one query against a persistent corpus of embeddings.
+
+TPU-first design:
+
+- The corpus lives on device as ONE ``(capacity, dim)`` matrix whose
+  capacity is padded to a power of two, so XLA compiles one search
+  program per capacity tier (and per static ``k``) instead of one per
+  added item — steady-state serving never recompiles.
+- Scoring is a single MXU matmul ``queries @ corpusᵀ`` plus
+  ``jax.lax.top_k``; empty tail slots are masked to ``-inf`` with a
+  traced valid-count scalar before the top-k, so adds that don't cross
+  a capacity tier reuse the compiled program.
+- Embeddings from the retrieval model are L2-normalized
+  (models/retrieval.py encode_*), so the dot product IS the cosine
+  retrieval score used throughout training and eval.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+class EmbeddingIndex:
+    """In-memory embedding index with device-side top-k search.
+
+    Thread-safe for the serving pattern (HTTP handler threads calling
+    ``add``/``search`` concurrently): mutation of the host buffer and
+    the device commit happen under one lock.
+    """
+
+    def __init__(self, dim: int, capacity: int = 1024):
+        if dim <= 0:
+            raise ValueError(f"dim must be positive, got {dim}")
+        self.dim = int(dim)
+        self._capacity = _next_pow2(max(1, capacity))
+        self._embs = np.zeros((self._capacity, self.dim), np.float32)
+        self._ids: List[str] = []
+        self._device_corpus = None  # committed jnp array, None = dirty
+        self._lock = threading.RLock()
+        self._search_cache: Dict[Tuple[int, int], object] = {}
+
+    def __len__(self) -> int:
+        return len(self._ids)
+
+    @property
+    def capacity(self) -> int:
+        return self._capacity
+
+    # -- mutation ---------------------------------------------------------
+
+    def add(self, ids: Sequence[str], embeddings: np.ndarray,
+            normalize: bool = False) -> int:
+        """Append ``len(ids)`` rows; returns the new item count.
+
+        ``embeddings``: ``(n, dim)`` (or ``(dim,)`` with a single id).
+        With ``normalize`` rows are L2-normalized first (embeddings from
+        the model's encode_* are already unit-norm)."""
+        embs = np.asarray(embeddings, np.float32)
+        if embs.ndim == 1:
+            embs = embs[None, :]
+        if isinstance(ids, str):
+            ids = [ids]
+        ids = [str(i) for i in ids]
+        if embs.shape != (len(ids), self.dim):
+            raise ValueError(f"expected ({len(ids)}, {self.dim}) "
+                             f"embeddings, got {embs.shape}")
+        if normalize:
+            norms = np.linalg.norm(embs, axis=1, keepdims=True)
+            embs = embs / np.maximum(norms, 1e-12)
+        with self._lock:
+            n0, n1 = len(self._ids), len(self._ids) + len(ids)
+            if n1 > self._capacity:
+                new_cap = _next_pow2(n1)
+                grown = np.zeros((new_cap, self.dim), np.float32)
+                grown[:n0] = self._embs[:n0]
+                self._embs = grown
+                self._capacity = new_cap
+            self._embs[n0:n1] = embs
+            self._ids.extend(ids)
+            self._device_corpus = None  # re-commit lazily on next search
+            return n1
+
+    # -- search -----------------------------------------------------------
+
+    def _search_fn(self, capacity: int, k: int):
+        """One jitted program per (capacity tier, static k)."""
+        key = (capacity, k)
+        fn = self._search_cache.get(key)
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
+
+            def search(corpus, queries, n_valid):
+                scores = queries @ corpus.T  # (B, capacity) on the MXU
+                slot = jnp.arange(corpus.shape[0])[None, :]
+                scores = jnp.where(slot < n_valid, scores, -jnp.inf)
+                return jax.lax.top_k(scores, k)
+
+            fn = jax.jit(search)
+            self._search_cache[key] = fn
+        return fn
+
+    def search(self, queries: np.ndarray, k: int = 5,
+               normalize: bool = False
+               ) -> Tuple[List[List[str]], np.ndarray]:
+        """Top-``k`` corpus items per query by dot-product score.
+
+        ``queries``: ``(B, dim)`` or ``(dim,)``. Returns
+        ``(ids, scores)`` — ids as a list of per-query lists, scores as
+        ``(B, k_eff)`` with ``k_eff = min(k, len(self))``."""
+        q = np.asarray(queries, np.float32)
+        squeeze = q.ndim == 1
+        if squeeze:
+            q = q[None, :]
+        if q.ndim != 2 or q.shape[1] != self.dim:
+            raise ValueError(f"queries must be (B, {self.dim}), "
+                             f"got {q.shape}")
+        if normalize:
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True),
+                               1e-12)
+        with self._lock:
+            n = len(self._ids)
+            if n == 0:
+                raise ValueError("index is empty")
+            import jax
+            import jax.numpy as jnp
+
+            if self._device_corpus is None:
+                self._device_corpus = jnp.asarray(self._embs)
+            corpus = self._device_corpus
+            ids = list(self._ids)
+            capacity = self._capacity
+        k_eff = max(1, min(int(k), n))
+        # Static k for top_k: compile per (capacity, k_eff); the traced
+        # n keeps same-tier adds off the compile path.
+        fn = self._search_fn(capacity, k_eff)
+        scores, idx = fn(corpus, jnp.asarray(q), jnp.int32(n))
+        scores = np.asarray(jax.device_get(scores))
+        idx = np.asarray(jax.device_get(idx))
+        out_ids = [[ids[j] for j in row] for row in idx]
+        if squeeze:
+            return out_ids[0], scores[0]
+        return out_ids, scores
+
+    # -- persistence ------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        with self._lock:
+            n = len(self._ids)
+            np.savez_compressed(path, ids=np.asarray(self._ids, object),
+                                embeddings=self._embs[:n])
+
+    @classmethod
+    def load(cls, path: str, capacity: Optional[int] = None
+             ) -> "EmbeddingIndex":
+        data = np.load(path, allow_pickle=True)
+        embs = np.asarray(data["embeddings"], np.float32)
+        ids = [str(i) for i in data["ids"]]
+        idx = cls(dim=embs.shape[1] if embs.size else 1,
+                  capacity=capacity or max(1, len(ids)))
+        if ids:
+            idx.add(ids, embs)
+        return idx

@@ -18,6 +18,10 @@ Endpoints:
   classification: POST /predict {"image": 28x28[x1], "normalize": bool}
   retrieval:      POST /embed_image {"image": HxWx3, "normalize": bool}
                   POST /embed_text  {"text": "..."} | {"tokens": [...]}
+                  POST /index/add {"id": ..., "image"|"text"|"tokens": ...}
+                  POST /search    {"image"|"text"|"tokens": ..., "k": 5}
+                  (device-resident corpus index, atq_tpu/serve/index.py;
+                  preload with --index_file)
   both:           GET /healthz  (engine stats)
 
 Examples:
@@ -63,6 +67,9 @@ def build_parser():
     p.add_argument("--vocab_file", type=str, default=None,
                    help="vocab.json (retrieval); defaults to the one "
                         "next to the checkpoint")
+    p.add_argument("--index_file", type=str, default=None,
+                   help="pre-built embedding-index .npz to preload into "
+                        "the /search corpus (retrieval)")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8712)
     p.add_argument("--max_batch", type=int, default=32)
@@ -165,10 +172,23 @@ def build_retrieval_routes(args, ckpt, grad_mode):
     txt_server = BatchServer(txt_fwd, max_batch=args.max_batch,
                              max_wait_ms=args.max_wait_ms,
                              fallback_fn=txt_fallback).start()
-    return (make_retrieval_routes(img_server, txt_server,
-                                  word_to_idx=word_to_idx,
-                                  max_length=args.max_seq_length),
-            [img_server, txt_server])
+    routes = make_retrieval_routes(img_server, txt_server,
+                                   word_to_idx=word_to_idx,
+                                   max_length=args.max_seq_length)
+    # Corpus-side retrieval: /index/add + /search over a device-resident
+    # embedding index (atq_tpu/serve/index.py).
+    from atq_tpu.serve.http import make_search_routes
+    from atq_tpu.serve.index import EmbeddingIndex
+
+    if args.index_file:
+        index = EmbeddingIndex.load(args.index_file)
+        if index.dim != args.embed_dim:
+            raise SystemExit(f"--index_file has dim {index.dim}, model "
+                             f"has embed_dim {args.embed_dim}")
+    else:
+        index = EmbeddingIndex(dim=args.embed_dim)
+    routes = {**routes, **make_search_routes(index, routes)}
+    return routes, [img_server, txt_server]
 
 
 def main(argv=None):

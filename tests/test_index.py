@@ -1,0 +1,128 @@
+"""EmbeddingIndex: device-side top-k search over a persistent corpus.
+
+The reference's retrieval protocol scores a full corpus-by-corpus
+similarity matrix on the host (train_multimodal.py:197-241); the index
+is the serving-side inverse — one query against a device-resident
+corpus (atq_tpu/serve/index.py). Checked against brute-force numpy.
+"""
+
+import numpy as np
+import pytest
+
+from atq_tpu.serve.http import make_search_routes
+from atq_tpu.serve.index import EmbeddingIndex, _next_pow2
+
+
+def _unit_rows(rng, n, d):
+    x = rng.randn(n, d).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_search_matches_numpy_brute_force():
+    rng = np.random.RandomState(0)
+    corpus = _unit_rows(rng, 37, 16)
+    idx = EmbeddingIndex(dim=16, capacity=8)  # forces growth too
+    idx.add([f"item{i}" for i in range(37)], corpus)
+
+    queries = _unit_rows(rng, 5, 16)
+    ids, scores = idx.search(queries, k=4)
+    want = corpus @ queries.T  # (37, 5)
+    for qi in range(5):
+        order = np.argsort(-want[:, qi])[:4]
+        assert ids[qi] == [f"item{j}" for j in order]
+        np.testing.assert_allclose(scores[qi], want[order, qi], rtol=1e-5)
+
+
+def test_capacity_grows_in_pow2_tiers():
+    idx = EmbeddingIndex(dim=4, capacity=2)
+    rng = np.random.RandomState(1)
+    idx.add(["a", "b"], _unit_rows(rng, 2, 4))
+    assert idx.capacity == 2
+    idx.add(["c"], _unit_rows(rng, 1, 4))
+    assert idx.capacity == 4 and len(idx) == 3
+    idx.add([f"x{i}" for i in range(10)], _unit_rows(rng, 10, 4))
+    assert idx.capacity == _next_pow2(13) == 16 and len(idx) == 13
+    # Padding slots never appear in results even with k == capacity.
+    ids, scores = idx.search(_unit_rows(rng, 1, 4), k=16)
+    assert len(ids[0]) == 13 and np.all(np.isfinite(scores))
+
+
+def test_k_clamps_to_corpus_size_and_single_query_squeezes():
+    rng = np.random.RandomState(2)
+    idx = EmbeddingIndex(dim=8)
+    idx.add(["only", "two"], _unit_rows(rng, 2, 8))
+    ids, scores = idx.search(_unit_rows(rng, 1, 8)[0], k=10)
+    assert isinstance(ids, list) and len(ids) == 2  # squeezed, clamped
+    assert scores.shape == (2,)
+    assert set(ids) == {"only", "two"}
+
+
+def test_empty_index_raises_and_bad_shapes_raise():
+    idx = EmbeddingIndex(dim=8)
+    with pytest.raises(ValueError, match="empty"):
+        idx.search(np.zeros(8, np.float32))
+    with pytest.raises(ValueError, match="embeddings"):
+        idx.add(["a"], np.zeros((1, 7), np.float32))
+    with pytest.raises(ValueError, match="queries"):
+        idx.add(["a"], np.zeros((1, 8), np.float32))
+        idx.search(np.zeros((1, 7), np.float32))
+
+
+def test_save_load_round_trip(tmp_path):
+    rng = np.random.RandomState(3)
+    corpus = _unit_rows(rng, 9, 12)
+    idx = EmbeddingIndex(dim=12)
+    idx.add([f"i{i}" for i in range(9)], corpus)
+    p = str(tmp_path / "index.npz")
+    idx.save(p)
+    idx2 = EmbeddingIndex.load(p)
+    assert len(idx2) == 9 and idx2.dim == 12
+    q = _unit_rows(rng, 2, 12)
+    ids1, s1 = idx.search(q, k=3)
+    ids2, s2 = idx2.search(q, k=3)
+    assert ids1 == ids2
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+def test_normalize_flag():
+    idx = EmbeddingIndex(dim=4)
+    idx.add(["long"], np.asarray([[10.0, 0, 0, 0]]), normalize=True)
+    ids, scores = idx.search(np.asarray([3.0, 0, 0, 0]), k=1,
+                             normalize=True)
+    np.testing.assert_allclose(scores, [1.0], rtol=1e-6)
+
+
+def test_search_routes_over_fake_embedders():
+    """/index/add + /search wired over the embed routes (fake encoders:
+    embedding = first-3-pixel signature / one-hot-ish token hash)."""
+    def fake_embed_image(payload):
+        img = np.asarray(payload["image"], np.float32)
+        v = np.asarray([img.mean(), img.max(), 1.0], np.float32)
+        return {"embedding": (v / np.linalg.norm(v)).tolist()}
+
+    def fake_embed_text(payload):
+        h = float(len(payload.get("text", ""))) or float(
+            sum(payload.get("tokens", [])))
+        v = np.asarray([h, 1.0, 0.0], np.float32)
+        return {"embedding": (v / np.linalg.norm(v)).tolist()}
+
+    embed_routes = {"/embed_image": fake_embed_image,
+                    "/embed_text": fake_embed_text}
+    index = EmbeddingIndex(dim=3)
+    routes = make_search_routes(index, embed_routes)
+
+    img = np.zeros((4, 4, 3), np.float32)
+    assert routes["/index/add"]({"id": "dark", "image": img.tolist()}
+                                )["count"] == 1
+    assert routes["/index/add"]({"id": "bright",
+                                 "image": (img + 1).tolist()})["count"] == 2
+    out = routes["/search"]({"image": (img + 0.9).tolist(), "k": 2})
+    assert [r["id"] for r in out["results"]] == ["bright", "dark"]
+    assert out["count"] == 2
+    # text query hits the text embedder and still searches the corpus
+    out = routes["/search"]({"text": "hi", "k": 1})
+    assert len(out["results"]) == 1
+    with pytest.raises(ValueError, match="'id'"):
+        routes["/index/add"]({"image": img.tolist()})
+    with pytest.raises(ValueError, match="image"):
+        routes["/search"]({"k": 1})
