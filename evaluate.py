@@ -59,6 +59,10 @@ def build_parser():
                              "dense weights (deployment-form eval)")
     parser.add_argument("--output", type=str, default=None,
                         help="Optional JSON file for the metrics")
+    parser.add_argument("--save_index", type=str, default=None,
+                        help="(retrieval) also embed the split's unique "
+                             "images and save them as an EmbeddingIndex "
+                             ".npz, servable via `serve.py --index_file`")
     return parser
 
 
@@ -196,6 +200,32 @@ def main(argv=None):
         metrics = evaluate_model(embed_fn, state, loader)
         for k, v in metrics.items():
             print(f"{k}: {v:.2f}")
+
+        if args.save_index:
+            # Checkpoint -> servable corpus: embed each unique image of
+            # the split (5 caption rows share one image; eval loaders
+            # are unshuffled, so row order matches dataset.items) and
+            # save in the EmbeddingIndex format for serve.py
+            # --index_file.
+            import numpy as np
+
+            from atq_tpu.serve.index import EmbeddingIndex
+
+            names = [n for n, _ in loader.dataset.items]
+            index = EmbeddingIndex(dim=args.embed_dim)
+            seen = set()
+            row = 0
+            for batch in loader:
+                img_emb, _ = embed_fn(state, batch, False)
+                for emb in np.asarray(jax.device_get(img_emb)):
+                    name = names[row]
+                    row += 1
+                    if name not in seen:
+                        seen.add(name)
+                        index.add([name], emb[None, :])
+            index.save(args.save_index)
+            print(f"saved image index: {len(index)} unique images -> "
+                  f"{args.save_index}")
 
     if args.output:
         with open(args.output, "w") as f:
