@@ -92,7 +92,9 @@ class EmbeddingIndex:
                 self._capacity = new_cap
             self._embs[n0:n1] = embs
             self._ids.extend(ids)
-            self._device_corpus = None  # re-commit lazily on next search
+            # Re-commit lazily on next search (both placements).
+            self._device_corpus = None
+            self._sharded_corpus = None
             return n1
 
     # -- search -----------------------------------------------------------
@@ -115,14 +117,63 @@ class EmbeddingIndex:
             self._search_cache[key] = fn
         return fn
 
+    def _sharded_search_fn(self, capacity: int, k: int, mesh,
+                           axis: str = "data"):
+        """Distributed top-k over a row-sharded corpus: each device
+        scores and top-k's its own ``capacity / n_dev`` corpus rows
+        (one local MXU matmul), then the per-shard candidates are
+        all-gathered and reduced — the collective moves ``n_dev * k``
+        candidates per query instead of the full score row."""
+        key = ("sharded", capacity, k, id(mesh))
+        fn = self._search_cache.get(key)
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
+            from jax import shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_dev = mesh.shape[axis]
+            local_cap = capacity // n_dev
+            k_local = min(k, local_cap)
+
+            def local_search(corpus, queries, n_valid):
+                # corpus: (local_cap, dim) shard; queries replicated
+                i = jax.lax.axis_index(axis)
+                scores = queries @ corpus.T
+                slot = i * local_cap + jnp.arange(local_cap)[None, :]
+                scores = jnp.where(slot < n_valid, scores, -jnp.inf)
+                v, idx = jax.lax.top_k(scores, k_local)
+                gidx = i * local_cap + idx
+                v_all = jax.lax.all_gather(v, axis, axis=1, tiled=True)
+                g_all = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
+                vf, sel = jax.lax.top_k(v_all, k)
+                return vf, jnp.take_along_axis(g_all, sel, axis=1)
+
+            mapped = shard_map(
+                local_search, mesh=mesh,
+                in_specs=(P(axis, None), P(None, None), P()),
+                out_specs=(P(None, None), P(None, None)),
+                check_vma=False,
+            )
+            jitted = jax.jit(mapped)
+            corpus_sharding = NamedSharding(mesh, P(axis, None))
+            fn = (jitted, corpus_sharding)
+            self._search_cache[key] = fn
+        return fn
+
     def search(self, queries: np.ndarray, k: int = 5,
-               normalize: bool = False
+               normalize: bool = False, mesh=None
                ) -> Tuple[List[List[str]], np.ndarray]:
         """Top-``k`` corpus items per query by dot-product score.
 
         ``queries``: ``(B, dim)`` or ``(dim,)``. Returns
         ``(ids, scores)`` — ids as a list of per-query lists, scores as
-        ``(B, k_eff)`` with ``k_eff = min(k, len(self))``."""
+        ``(B, k_eff)`` with ``k_eff = min(k, len(self))``.
+
+        With ``mesh`` (a Mesh with a ``'data'`` axis whose size divides
+        the capacity tier) the corpus rows are sharded across devices
+        and searched with per-shard top-k + all-gather merge — corpora
+        larger than one chip's HBM scale across the mesh."""
         q = np.asarray(queries, np.float32)
         squeeze = q.ndim == 1
         if squeeze:
@@ -133,22 +184,35 @@ class EmbeddingIndex:
         if normalize:
             q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True),
                                1e-12)
+        import jax
+        import jax.numpy as jnp
+
+        use_mesh = (mesh is not None
+                    and self._capacity % mesh.shape["data"] == 0)
         with self._lock:
             n = len(self._ids)
             if n == 0:
                 raise ValueError("index is empty")
-            import jax
-            import jax.numpy as jnp
-
-            if self._device_corpus is None:
-                self._device_corpus = jnp.asarray(self._embs)
-            corpus = self._device_corpus
             ids = list(self._ids)
             capacity = self._capacity
+            if use_mesh:
+                cached = getattr(self, "_sharded_corpus", None)
+                if cached is None or cached[0] is not mesh:
+                    k_probe = self._sharded_search_fn(capacity, 1, mesh)
+                    corpus = jax.device_put(self._embs, k_probe[1])
+                    self._sharded_corpus = (mesh, corpus)
+                corpus = self._sharded_corpus[1]
+            else:
+                if self._device_corpus is None:
+                    self._device_corpus = jnp.asarray(self._embs)
+                corpus = self._device_corpus
         k_eff = max(1, min(int(k), n))
         # Static k for top_k: compile per (capacity, k_eff); the traced
         # n keeps same-tier adds off the compile path.
-        fn = self._search_fn(capacity, k_eff)
+        if use_mesh:
+            fn, _ = self._sharded_search_fn(capacity, k_eff, mesh)
+        else:
+            fn = self._search_fn(capacity, k_eff)
         scores, idx = fn(corpus, jnp.asarray(q), jnp.int32(n))
         scores = np.asarray(jax.device_get(scores))
         idx = np.asarray(jax.device_get(idx))

@@ -126,3 +126,30 @@ def test_search_routes_over_fake_embedders():
         routes["/index/add"]({"image": img.tolist()})
     with pytest.raises(ValueError, match="image"):
         routes["/search"]({"k": 1})
+
+
+def test_sharded_search_matches_single_device():
+    """Corpus rows sharded over the 8-device 'data' axis; per-shard
+    top-k + all-gather merge must equal the dense single-device search
+    (atq_tpu/serve/index.py:_sharded_search_fn)."""
+    from atq_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(5)
+    corpus = _unit_rows(rng, 100, 16)  # capacity tier 128 = 8 * 16 rows
+    idx = EmbeddingIndex(dim=16)
+    idx.add([f"c{i}" for i in range(100)], corpus)
+    q = _unit_rows(rng, 4, 16)
+
+    ids_dense, s_dense = idx.search(q, k=7)
+    mesh = make_mesh()  # all 8 virtual CPU devices on 'data'
+    ids_shard, s_shard = idx.search(q, k=7, mesh=mesh)
+    assert ids_shard == ids_dense
+    np.testing.assert_allclose(s_shard, s_dense, rtol=1e-5)
+
+    # Adds invalidate the sharded commit too: grow past the tier and
+    # re-search (capacity 256 still divides 8).
+    idx.add([f"x{i}" for i in range(60)], _unit_rows(rng, 60, 16))
+    ids_dense2, s_dense2 = idx.search(q, k=7)
+    ids_shard2, s_shard2 = idx.search(q, k=7, mesh=mesh)
+    assert ids_shard2 == ids_dense2
+    np.testing.assert_allclose(s_shard2, s_dense2, rtol=1e-5)
