@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Embedding-index search throughput on the real chip.
+
+Measures /search's device work (atq_tpu/serve/index.py): one
+``(B, dim) @ (capacity, dim)ᵀ`` MXU matmul + ``lax.top_k`` over a
+device-resident corpus, across corpus sizes and query batch sizes.
+Reports queries/sec and per-query latency; the corpus stays resident
+between calls (the serving steady state).
+
+Usage: ``python benchmarks/index_bench.py [--dim 192] [--k 10]
+[--out benchmarks/index_bench.json]``
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from atq_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
+
+def measure(index, queries, k, iters=30):
+    import jax
+
+    index.search(queries, k=k)  # compile + commit
+    t0 = time.time()
+    for _ in range(iters):
+        ids, scores = index.search(queries, k=k)
+    dt = (time.time() - t0) / iters
+    del ids, scores
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dim", type=int, default=192)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--out", type=str,
+                    default=os.path.join(os.path.dirname(
+                        os.path.abspath(__file__)), "index_bench.json"))
+    ap.add_argument("--corpus-sizes", type=int, nargs="+",
+                    default=[10_000, 100_000, 1_000_000])
+    ap.add_argument("--query-batches", type=int, nargs="+",
+                    default=[1, 32, 256])
+    args = ap.parse_args()
+
+    from atq_tpu.serve.index import EmbeddingIndex
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for corpus_n in args.corpus_sizes:
+        corpus = rng.randn(corpus_n, args.dim).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        index = EmbeddingIndex(dim=args.dim, capacity=corpus_n)
+        index.add([str(i) for i in range(corpus_n)], corpus)
+        for qb in args.query_batches:
+            q = rng.randn(qb, args.dim).astype(np.float32)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            dt = measure(index, q, args.k)
+            row = {"corpus": corpus_n, "query_batch": qb,
+                   "ms_per_call": dt * 1000,
+                   "queries_per_sec": qb / dt}
+            print(row, flush=True)
+            rows.append(row)
+        del index, corpus
+        with open(args.out, "w") as f:  # incremental: crash keeps rows
+            json.dump({"dim": args.dim, "k": args.k, "rows": rows}, f,
+                      indent=1)
+
+
+if __name__ == "__main__":
+    main()
