@@ -75,6 +75,12 @@ class ClassifierConfig:
     profile_dir: Optional[str] = None
     orbax_freq: int = 5  # epochs between full-state Orbax saves
     device_augment: bool = True  # run train-time augmentation on-device
+    grad_accum_steps: int = 1  # >1: split each batch into N microbatches
+    # inside the jitted step (lax.scan), average their gradients, apply ONE
+    # optimizer update — large effective batches at microbatch activation
+    # memory. Exact mean-of-means for the CE/KD/L1 losses; BN batch stats
+    # and dropout/augment rng are per-microbatch (torch-accumulation
+    # semantics).
 
 
 def _l1_penalty(params) -> jax.Array:
@@ -180,7 +186,29 @@ def make_optimizer(cfg: ClassifierConfig, steps_per_epoch: int,
 def build_train_step(atq_model, base_model, atq_tx, base_tx,
                      cfg: ClassifierConfig):
     """One compiled step training BOTH models (teacher first, then student
-    with optional distillation from the teacher's pre-update logits)."""
+    with optional distillation from the teacher's pre-update logits).
+
+    With ``cfg.grad_accum_steps > 1`` the returned step splits the batch
+    into that many microbatches inside the compiled program (lax.scan),
+    averages their gradients, and applies ONE optimizer update per model —
+    the effective batch trains at microbatch activation memory. Loss terms
+    are exact means-of-means (equal microbatch sizes); BatchNorm statistics
+    and dropout/augment randomness are per-microbatch, matching what a
+    torch user gets from N separate forward/backwards per optimizer step.
+    """
+
+    def _normalize_augment(images, aug_rng):
+        """Device-side normalize + augment for raw uint8 loader batches
+        (identical math to the unaccumulated path below)."""
+        from atq_tpu.data.augment import classifier_augment
+        from atq_tpu.data.mnist import FASHION_STATS, MNIST_STATS
+
+        mean, std = (FASHION_STATS if cfg.dataset == "fashion_mnist"
+                     else MNIST_STATS)
+        images = (images.astype(jnp.float32) / 255.0 - mean) / std
+        return classifier_augment(
+            images, aug_rng, flip=cfg.dataset == "fashion_mnist"
+        )
 
     def train_step(state: Dict[str, Any], batch, sparsity_unused,
                    l1_weight, rng):
@@ -190,16 +218,8 @@ def build_train_step(atq_model, base_model, atq_tx, base_tx,
             # Only raw uint8 loader output gets the device-side normalize +
             # augment; caller-supplied float batches are already normalized
             # (re-normalizing them would silently corrupt training).
-            from atq_tpu.data.augment import classifier_augment
-            from atq_tpu.data.mnist import FASHION_STATS, MNIST_STATS
-
-            mean, std = (FASHION_STATS if cfg.dataset == "fashion_mnist"
-                         else MNIST_STATS)
-            images = (images.astype(jnp.float32) / 255.0 - mean) / std
-            aug_rng = jax.random.fold_in(drop_rng, 1)
-            images = classifier_augment(
-                images, aug_rng, flip=cfg.dataset == "fashion_mnist"
-            )
+            images = _normalize_augment(images,
+                                        jax.random.fold_in(drop_rng, 1))
 
         # --- baseline (teacher) ---
         def base_loss_fn(p):
@@ -266,7 +286,135 @@ def build_train_step(atq_model, base_model, atq_tx, base_tx,
         }
         return new_state, metrics
 
-    return train_step
+    n_accum = max(1, int(getattr(cfg, "grad_accum_steps", 1)))
+    if n_accum == 1:
+        return train_step
+
+    def _micro_grads(base_params, atq_params, base_stats, atq_stats,
+                     quant, images, labels, l1_weight, drop_rng):
+        """Gradients + mutated stats + metrics for ONE microbatch, from
+        the given (pre-update) params — the same math as one unaccumulated
+        step minus the optimizer updates."""
+        if cfg.device_augment and images.dtype == jnp.uint8:
+            images = _normalize_augment(images,
+                                        jax.random.fold_in(drop_rng, 1))
+
+        def base_loss_fn(p):
+            logits, mutated = base_model.apply(
+                {"params": p, "batch_stats": base_stats},
+                images, train=True, rngs={"dropout": drop_rng},
+                mutable=["batch_stats"],
+            )
+            return _cross_entropy(logits, labels), (logits, mutated)
+
+        (base_loss, (base_logits, base_mut)), base_grads = (
+            jax.value_and_grad(base_loss_fn, has_aux=True)(base_params)
+        )
+
+        def atq_loss_fn(p):
+            logits, mutated = atq_model.apply(
+                {"params": p, "quant": quant, "batch_stats": atq_stats},
+                images, train=True, rngs={"dropout": drop_rng},
+                mutable=["batch_stats"],
+            )
+            loss = _cross_entropy(logits, labels)
+            if cfg.distill:
+                loss = 0.7 * loss + 0.3 * _kd_loss(
+                    logits, jax.lax.stop_gradient(base_logits)
+                )
+            if cfg.use_l1:
+                loss = loss + l1_weight * _l1_penalty(p)
+            return loss, (logits, mutated)
+
+        (atq_loss, (atq_logits, atq_mut)), atq_grads = (
+            jax.value_and_grad(atq_loss_fn, has_aux=True)(atq_params)
+        )
+        metrics = {
+            "loss": atq_loss,
+            "base_loss": base_loss,
+            "atq_correct": jnp.sum(
+                jnp.argmax(atq_logits, -1) == labels).astype(jnp.int32),
+            "base_correct": jnp.sum(
+                jnp.argmax(base_logits, -1) == labels).astype(jnp.int32),
+        }
+        return (base_grads, atq_grads, base_mut["batch_stats"],
+                atq_mut["batch_stats"], metrics)
+
+    def accum_train_step(state: Dict[str, Any], batch, sparsity_unused,
+                         l1_weight, rng):
+        images, labels = batch
+        total = images.shape[0]
+        if total % n_accum:
+            raise ValueError(
+                f"batch size {total} not divisible by "
+                f"grad_accum_steps {n_accum}"
+            )
+        micro = total // n_accum
+        imgs = images.reshape(n_accum, micro, *images.shape[1:])
+        lbls = labels.reshape(n_accum, micro)
+        drop_rng = jax.random.fold_in(rng, state["step"])
+        inv_n = 1.0 / n_accum
+
+        def micro_step(carry, xs):
+            base_stats, atq_stats, base_acc, atq_acc, msum = carry
+            im, lb, idx = xs
+            rng_m = jax.random.fold_in(drop_rng, idx)
+            base_g, atq_g, base_stats, atq_stats, m = _micro_grads(
+                state["base_params"], state["atq_params"], base_stats,
+                atq_stats, state["quant"], im, lb, l1_weight, rng_m,
+            )
+            base_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g * inv_n, base_acc, base_g)
+            atq_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g * inv_n, atq_acc, atq_g)
+            msum = {
+                "loss": msum["loss"] + m["loss"] * inv_n,
+                "base_loss": msum["base_loss"] + m["base_loss"] * inv_n,
+                "atq_correct": msum["atq_correct"] + m["atq_correct"],
+                "base_correct": msum["base_correct"] + m["base_correct"],
+            }
+            return (base_stats, atq_stats, base_acc, atq_acc, msum), None
+
+        carry0 = (
+            state["base_batch_stats"],
+            state["atq_batch_stats"],
+            jax.tree_util.tree_map(jnp.zeros_like, state["base_params"]),
+            jax.tree_util.tree_map(jnp.zeros_like, state["atq_params"]),
+            {"loss": jnp.asarray(0.0, jnp.float32),
+             "base_loss": jnp.asarray(0.0, jnp.float32),
+             "atq_correct": jnp.asarray(0, jnp.int32),
+             "base_correct": jnp.asarray(0, jnp.int32)},
+        )
+        (base_stats, atq_stats, base_grads, atq_grads, msum), _ = (
+            jax.lax.scan(micro_step, carry0,
+                         (imgs, lbls, jnp.arange(n_accum)))
+        )
+
+        base_updates, base_opt_state = base_tx.update(
+            base_grads, state["base_opt_state"], state["base_params"]
+        )
+        base_params = optax.apply_updates(state["base_params"],
+                                          base_updates)
+        atq_updates, atq_opt_state = atq_tx.update(
+            atq_grads, state["atq_opt_state"], state["atq_params"]
+        )
+        atq_params = optax.apply_updates(state["atq_params"], atq_updates)
+
+        new_state = {
+            **state,
+            "base_params": base_params,
+            "base_opt_state": base_opt_state,
+            "base_batch_stats": base_stats,
+            "atq_params": atq_params,
+            "atq_opt_state": atq_opt_state,
+            "atq_batch_stats": atq_stats,
+            "step": state["step"] + 1,
+        }
+        metrics = {**msum,
+                   "count": jnp.asarray(total, jnp.int32)}
+        return new_state, metrics
+
+    return accum_train_step
 
 
 def build_eval_step(model, params_key: str, stats_key: str,

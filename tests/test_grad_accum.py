@@ -1,0 +1,168 @@
+"""Gradient accumulation: the lax.scan microbatch step must equal a
+hand-rolled N-forward/backward oracle (same rng folds, same pre-update
+teacher) followed by one averaged optimizer update.
+
+The classifier accumulation is the torch-style semantics (per-microbatch
+BN stats and dropout); the retrieval GradCache variant is covered in
+test_grad_cache.py (full-negative-pool equivalence).
+"""
+
+import pytest
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from atq_tpu.models.image_classifier import (
+    ATQImageClassifier,
+    BaselineCNNClassifier,
+)
+from atq_tpu.train.classifier import (
+    ClassifierConfig,
+    _cross_entropy,
+    _kd_loss,
+    _l1_penalty,
+    build_train_step,
+    make_optimizer,
+)
+
+pytestmark = pytest.mark.slow  # model-compile-heavy
+
+
+def _tiny_setup(accum, distill=True, use_l1=True):
+    cfg = ClassifierConfig(
+        use_rpb=True, distill=distill, use_l1=use_l1, batch_size=8,
+        grad_accum_steps=accum, device_augment=False, epochs=2,
+    )
+    atq_model = ATQImageClassifier(use_rpb=True, sparsity_target=0.3,
+                                   hidden_size=16)
+    base_model = BaselineCNNClassifier(hidden_size=16)
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((2, 28, 28, 1), jnp.float32)
+    atq_vars = atq_model.init(rng, sample)
+    base_vars = base_model.init(jax.random.fold_in(rng, 1), sample)
+    atq_tx = make_optimizer(cfg, steps_per_epoch=4)
+    base_tx = make_optimizer(cfg, steps_per_epoch=4, clip=False)
+    state = {
+        "atq_params": atq_vars["params"],
+        "quant": atq_vars.get("quant", {}),
+        "atq_batch_stats": atq_vars.get("batch_stats", {}),
+        "atq_opt_state": atq_tx.init(atq_vars["params"]),
+        "base_params": base_vars["params"],
+        "base_batch_stats": base_vars.get("batch_stats", {}),
+        "base_opt_state": base_tx.init(base_vars["params"]),
+        "step": jnp.asarray(0, jnp.int32),
+    }
+    return cfg, atq_model, base_model, atq_tx, base_tx, state
+
+
+def _batch(n=8):
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.randn(n, 28, 28, 1).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 10, n))
+    return images, labels
+
+
+def test_accum_matches_manual_microbatch_oracle():
+    """grad_accum_steps=2 == two explicit microbatch grad computations
+    (same rng folds, both from pre-update params) averaged into ONE
+    update. Gradients are extracted through an SGD(1.0) param delta —
+    comparing Adam-updated params instead would amplify fp-reassociation
+    noise on near-zero-gradient leaves (conv bias feeding BN) into ±lr
+    sign flips."""
+    accum = 2
+    cfg, atq_model, base_model, _, _, state = _tiny_setup(accum)
+    atq_tx = optax.sgd(1.0)
+    base_tx = optax.sgd(1.0)
+    state["atq_opt_state"] = atq_tx.init(state["atq_params"])
+    state["base_opt_state"] = base_tx.init(state["base_params"])
+    images, labels = _batch(8)
+    step_fn = jax.jit(
+        build_train_step(atq_model, base_model, atq_tx, base_tx, cfg))
+    rng = jax.random.PRNGKey(7)
+    got_state, got_metrics = step_fn(state, (images, labels), 0.3,
+                                     1e-5, rng)
+    got_bg = jax.tree_util.tree_map(
+        lambda old, new: old - new,
+        state["base_params"], got_state["base_params"])
+    got_ag = jax.tree_util.tree_map(
+        lambda old, new: old - new,
+        state["atq_params"], got_state["atq_params"])
+
+    # --- oracle: explicit python loop over the two microbatches ---
+    drop_rng = jax.random.fold_in(rng, state["step"])
+    micro = 8 // accum
+    base_stats = state["base_batch_stats"]
+    atq_stats = state["atq_batch_stats"]
+    base_acc = jax.tree_util.tree_map(jnp.zeros_like, state["base_params"])
+    atq_acc = jax.tree_util.tree_map(jnp.zeros_like, state["atq_params"])
+    for i in range(accum):
+        im = images[i * micro:(i + 1) * micro]
+        lb = labels[i * micro:(i + 1) * micro]
+        rng_m = jax.random.fold_in(drop_rng, i)
+
+        def base_loss_fn(p, stats=base_stats, im=im, lb=lb, rng_m=rng_m):
+            logits, mutated = base_model.apply(
+                {"params": p, "batch_stats": stats}, im, train=True,
+                rngs={"dropout": rng_m}, mutable=["batch_stats"])
+            return _cross_entropy(logits, lb), (logits, mutated)
+
+        (_, (base_logits, base_mut)), bg = jax.value_and_grad(
+            base_loss_fn, has_aux=True)(state["base_params"])
+        base_stats = base_mut["batch_stats"]
+
+        def atq_loss_fn(p, stats=atq_stats, im=im, lb=lb, rng_m=rng_m,
+                        base_logits=base_logits):
+            logits, mutated = atq_model.apply(
+                {"params": p, "quant": state["quant"],
+                 "batch_stats": stats}, im, train=True,
+                rngs={"dropout": rng_m}, mutable=["batch_stats"])
+            loss = _cross_entropy(logits, lb)
+            loss = 0.7 * loss + 0.3 * _kd_loss(
+                logits, jax.lax.stop_gradient(base_logits))
+            loss = loss + 1e-5 * _l1_penalty(p)
+            return loss, (logits, mutated)
+
+        (_, (_, atq_mut)), ag = jax.value_and_grad(
+            atq_loss_fn, has_aux=True)(state["atq_params"])
+        atq_stats = atq_mut["batch_stats"]
+        base_acc = jax.tree_util.tree_map(
+            lambda a, g: a + g / accum, base_acc, bg)
+        atq_acc = jax.tree_util.tree_map(
+            lambda a, g: a + g / accum, atq_acc, ag)
+
+    def assert_grads_close(got, want):
+        # Per-leaf tolerance scaled by the leaf's gradient magnitude:
+        # the scan and the python loop reassociate float sums.
+        def check(g, w):
+            scale = 1.0 + float(jnp.max(jnp.abs(w)))
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=1e-4 * scale, rtol=0)
+        jax.tree_util.tree_map(check, got, want)
+
+    assert_grads_close(got_bg, base_acc)
+    assert_grads_close(got_ag, atq_acc)
+    # BN stats advanced through both microbatches sequentially
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        got_state["base_batch_stats"], base_stats)
+    assert int(got_metrics["count"]) == 8
+    assert int(got_state["step"]) == 1
+
+
+def test_accum_one_returns_plain_step():
+    """grad_accum_steps=1 must return the historical unaccumulated step
+    (trajectory-parity tests depend on its exact rng folds)."""
+    cfg, atq_model, base_model, atq_tx, base_tx, state = _tiny_setup(1)
+    fn = build_train_step(atq_model, base_model, atq_tx, base_tx, cfg)
+    assert fn.__name__ == "train_step"
+
+
+def test_accum_rejects_indivisible_batch():
+    cfg, atq_model, base_model, atq_tx, base_tx, state = _tiny_setup(3)
+    images, labels = _batch(8)
+    step_fn = build_train_step(atq_model, base_model, atq_tx, base_tx, cfg)
+    with pytest.raises(ValueError, match="not divisible"):
+        step_fn(state, (images, labels), 0.3, 1e-5, jax.random.PRNGKey(0))
