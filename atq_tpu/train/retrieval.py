@@ -118,6 +118,15 @@ class RetrievalConfig:
     moe_experts: int = 0  # >0: ternary-expert MoE FFN in the text encoder
     # (EP capability; adds the load-balance aux loss below)
     moe_aux_weight: float = 0.01
+    grad_accum_steps: int = 1  # >1: GradCache-style two-pass accumulation.
+    # Naive microbatch accumulation would shrink the contrastive negative
+    # pool to the microbatch; instead the step (1) embeds every microbatch
+    # without gradients (lax.scan — activations freed per microbatch),
+    # (2) computes the FULL-batch contrastive loss and its gradient wrt
+    # the concatenated embeddings, (3) re-encodes each microbatch
+    # injecting its cotangent slice, accumulating parameter gradients.
+    # Gradients equal the "embed microbatches sequentially, loss over the
+    # concatenated pool" program exactly, at microbatch activation memory.
 
 
 def reinit_params(params, rng):
@@ -331,7 +340,199 @@ def build_retrieval_train_step(model, tx, criterion, cl_manager,
             )
         return new_state, loss
 
-    return train_step
+    n_accum = max(1, int(getattr(cfg, "grad_accum_steps", 1)))
+    if n_accum == 1:
+        return train_step
+
+    # ---- GradCache two-pass accumulation (cfg.grad_accum_steps > 1) ----
+    # Contrastive losses couple every sample to every other through the
+    # similarity matrix, so per-microbatch losses would shrink the
+    # negative pool. The two-pass scheme keeps the FULL pool: gradient
+    # d(loss)/d(params) = sum_i J_i^T @ d(loss)/d(emb_i), where J_i is the
+    # encoder Jacobian of microbatch i — each term is one re-encoded
+    # microbatch forward/backward with the embedding cotangent injected
+    # through a dot-product surrogate. (Gao et al., "Scaling Deep
+    # Contrastive Learning Batch Size under Memory Limited Setup".)
+
+    def _preprocess(images, drop_rng):
+        if images.dtype == jnp.uint8:
+            from atq_tpu.data.augment import random_hflip
+            from atq_tpu.data.flickr8k import IMAGENET_MEAN, IMAGENET_STD
+
+            images = (images.astype(jnp.float32) / 255.0
+                      - IMAGENET_MEAN) / IMAGENET_STD
+            images = random_hflip(images,
+                                  jax.random.fold_in(drop_rng, 2))
+        return images
+
+    def _forward(params, quant, constants, stats, imgs, captions,
+                 lengths, rng):
+        mutable = ["batch_stats"]
+        if cfg.moe_experts > 0:
+            mutable = ["batch_stats", "intermediates"]
+
+        def fwd(p_, imgs_, captions_, lengths_, rng_):
+            return model.apply(
+                {"params": p_, "quant": quant, "constants": constants,
+                 "batch_stats": stats},
+                imgs_, captions_, lengths_, return_embeddings=True,
+                train=True, rngs={"dropout": rng_}, mutable=mutable,
+            )
+
+        if cfg.grad_checkpointing:
+            fwd = jax.checkpoint(fwd)
+        return fwd(params, imgs, captions, lengths, rng)
+
+    def _aux_mean(mutated):
+        aux_losses = jax.tree_util.tree_leaves(
+            mutated.get("intermediates", {}))
+        if not aux_losses:
+            return jnp.asarray(0.0, jnp.float32)
+        return sum(jnp.mean(a) for a in aux_losses) / len(aux_losses)
+
+    def gradcache_train_step(state, batch, temperature, curriculum_kind,
+                             rng, baseline_embeds=None):
+        if cfg.use_multi_positive:
+            images, captions, lengths, image_ids = batch
+        else:
+            images, captions, lengths = batch
+        total = images.shape[0]
+        if total % n_accum:
+            raise ValueError(
+                f"batch size {total} not divisible by "
+                f"grad_accum_steps {n_accum}"
+            )
+        micro = total // n_accum
+        imgs_m = images.reshape(n_accum, micro, *images.shape[1:])
+        caps_m = captions.reshape(n_accum, micro, *captions.shape[1:])
+        lens_m = lengths.reshape(n_accum, micro)
+        step_rng = jax.random.fold_in(rng, state["step"])
+        quant = state["quant"]
+        constants = state.get("constants", {})
+        params = state["params"]
+
+        # -- pass 1: embed every microbatch, no gradients ----------------
+        def embed_micro(stats, xs):
+            im, cap, ln, idx = xs
+            rng_m = jax.random.fold_in(step_rng, idx)
+            im = _preprocess(im, rng_m)
+            (ie, te), mutated = _forward(params, quant, constants, stats,
+                                         im, cap, ln, rng_m)
+            return mutated["batch_stats"], (
+                ie.astype(jnp.float32), te.astype(jnp.float32),
+                _aux_mean(mutated))
+
+        final_stats, (img_m, txt_m, aux_m) = jax.lax.scan(
+            embed_micro, state["batch_stats"],
+            (imgs_m, caps_m, lens_m, jnp.arange(n_accum)))
+        img_emb = img_m.reshape(total, -1)
+        txt_emb = txt_m.reshape(total, -1)
+        aux_mean = jnp.mean(aux_m)
+        has_baseline = baseline_embeds is not None
+        aux_scale = ((1.0 - cfg.distill_weight) if has_baseline else 1.0)
+
+        # -- full-pool loss and its gradient wrt the embeddings ----------
+        def loss_head(embs):
+            ie, te = embs
+            from atq_tpu.models.fusion import l2_normalize
+
+            from atq_tpu.losses.contrastive import (
+                curriculum_weights_traced,
+            )
+
+            if cfg.use_multi_positive:
+                from atq_tpu.losses.contrastive import MultiPositiveInfoNCE
+
+                positive_mask = (image_ids[:, None]
+                                 == image_ids[None, :]).astype(jnp.float32)
+                mp = MultiPositiveInfoNCE(lambda_reg=cfg.contrastive_reg)
+                loss = mp(ie, te, positive_mask, temperature=temperature)
+            else:
+                similarity = jnp.matmul(l2_normalize(ie, axis=1),
+                                        l2_normalize(te, axis=1).T)
+                weights = curriculum_weights_traced(similarity,
+                                                    curriculum_kind)
+                loss = criterion(ie, te, weights, temperature=temperature)
+            if cfg.moe_experts > 0:
+                loss = loss + cfg.moe_aux_weight * aux_mean
+            if has_baseline:
+                base_img, base_txt = baseline_embeds
+                temp = 3.0
+                img_sim = jnp.matmul(ie, base_img.T) / temp
+                txt_sim = jnp.matmul(te, base_txt.T) / temp
+
+                def _kl_self(sim):
+                    target = jax.nn.softmax(jax.lax.stop_gradient(sim),
+                                            axis=1)
+                    log_t = jax.nn.log_softmax(
+                        jax.lax.stop_gradient(sim), axis=1)
+                    log_s = jax.nn.log_softmax(sim, axis=1)
+                    return jnp.mean(
+                        jnp.sum(target * (log_t - log_s), axis=1)
+                    ) * temp ** 2
+
+                distill_loss = (_kl_self(img_sim) + _kl_self(txt_sim)) / 2
+                loss = ((1 - cfg.distill_weight) * loss
+                        + cfg.distill_weight * distill_loss)
+            return loss
+
+        loss, (cot_img, cot_txt) = jax.value_and_grad(loss_head)(
+            (img_emb, txt_emb))
+        cot_img_m = cot_img.reshape(n_accum, micro, -1)
+        cot_txt_m = cot_txt.reshape(n_accum, micro, -1)
+
+        # -- pass 2: re-encode each microbatch, inject its cotangent -----
+        inv_n = 1.0 / n_accum
+
+        def grad_micro(carry, xs):
+            stats, gacc = carry
+            im, cap, ln, idx, ci, ct = xs
+            rng_m = jax.random.fold_in(step_rng, idx)
+            im = _preprocess(im, rng_m)
+
+            def surrogate(p):
+                (ie, te), mutated = _forward(p, quant, constants, stats,
+                                             im, cap, ln, rng_m)
+                s = (jnp.vdot(ie.astype(jnp.float32), ci)
+                     + jnp.vdot(te.astype(jnp.float32), ct))
+                if cfg.moe_experts > 0:
+                    # The aux loss reaches params directly (not through
+                    # the embeddings); mean-of-means over microbatches,
+                    # scaled like the plain step's blended loss.
+                    s = s + (aux_scale * cfg.moe_aux_weight
+                             * _aux_mean(mutated) * inv_n)
+                return s, mutated
+
+            (_, mutated), g = jax.value_and_grad(
+                surrogate, has_aux=True)(params)
+            gacc = jax.tree_util.tree_map(lambda a, b: a + b, gacc, g)
+            return (mutated["batch_stats"], gacc), None
+
+        (_, grads), _ = jax.lax.scan(
+            grad_micro,
+            (state["batch_stats"],
+             jax.tree_util.tree_map(jnp.zeros_like, params)),
+            (imgs_m, caps_m, lens_m, jnp.arange(n_accum),
+             cot_img_m, cot_txt_m))
+
+        updates, opt_state = tx.update(grads, state["opt_state"], params)
+        new_params = optax.apply_updates(params, updates)
+        new_state = {
+            **state,
+            "params": new_params,
+            "opt_state": opt_state,
+            "batch_stats": final_stats,
+            "step": state["step"] + 1,
+        }
+        if cfg.use_ema:
+            decay = 0.999
+            new_state["ema_params"] = jax.tree_util.tree_map(
+                lambda e, p: e * decay + p * (1 - decay),
+                state["ema_params"], new_params,
+            )
+        return new_state, loss
+
+    return gradcache_train_step
 
 
 def build_baseline_train_step(baseline_model, baseline_tx, criterion):

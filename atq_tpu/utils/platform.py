@@ -37,6 +37,36 @@ def enable_compilation_cache(cache_dir: str | None = None):
         pass
 
 
+def force_platform_from_argv(argv=None, flag="--device"):
+    """Honor a CLI ``--device cpu`` choice BEFORE any JAX backend
+    initializes (mirrors the reference's device flag,
+    /root/reference/train_multimodal.py:826). Must run before anything
+    that touches ``jax.default_backend()`` — including
+    :func:`apply_platform_env`'s compilation-cache probe — because the
+    axon plugin ignores a later ``JAX_PLATFORMS`` change once a backend
+    exists. Only ``cpu`` forces a platform: TPU plugins register under
+    plugin-specific names (e.g. 'axon' here), so ``--device tpu`` —
+    like ``cuda``/``mps``, accepted for reference CLI compatibility —
+    leaves the default (TPU-first) resolution order alone."""
+    import sys
+
+    argv = sys.argv[1:] if argv is None else argv
+    dev = None
+    for i, a in enumerate(argv):
+        if a == flag and i + 1 < len(argv):
+            dev = argv[i + 1]
+        elif a.startswith(flag + "="):
+            dev = a.split("=", 1)[1]
+    if dev == "cpu":
+        os.environ["JAX_PLATFORMS"] = dev
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", dev)
+        except Exception:
+            pass
+
+
 def apply_platform_env(compilation_cache: bool = True):
     platforms = os.environ.get("JAX_PLATFORMS")
     if platforms:

@@ -324,3 +324,25 @@ def test_visualize_flickr8k_samples(tmp_path):
                                idx_to_word=ds.idx_to_word,
                                out_path=str(out))
     assert out.exists()
+
+
+def test_force_platform_from_argv(monkeypatch):
+    """--device cpu must pin JAX_PLATFORMS before backend init; the
+    reference-compat values (cuda/mps) and tpu leave the default
+    TPU-first resolution untouched (plugin platform names vary)."""
+    import os
+
+    from atq_tpu.utils.platform import force_platform_from_argv
+
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    force_platform_from_argv(argv=["--device", "mps"])
+    assert "JAX_PLATFORMS" not in os.environ
+    force_platform_from_argv(argv=["--device", "tpu"])
+    assert "JAX_PLATFORMS" not in os.environ
+    force_platform_from_argv(argv=["--epochs", "1"])
+    assert "JAX_PLATFORMS" not in os.environ
+    force_platform_from_argv(argv=["--device=cpu"])
+    assert os.environ["JAX_PLATFORMS"] == "cpu"
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    force_platform_from_argv(argv=["--device", "cpu"])
+    assert os.environ["JAX_PLATFORMS"] == "cpu"

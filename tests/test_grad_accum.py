@@ -166,3 +166,151 @@ def test_accum_rejects_indivisible_batch():
     step_fn = build_train_step(atq_model, base_model, atq_tx, base_tx, cfg)
     with pytest.raises(ValueError, match="not divisible"):
         step_fn(state, (images, labels), 0.3, 1e-5, jax.random.PRNGKey(0))
+
+
+# --------------------- retrieval GradCache ---------------------------------
+
+
+def _retrieval_setup(accum):
+    from atq_tpu.losses.contrastive import (
+        ContrastiveLearningManager,
+        HardNegativeMiningInfoNCE,
+    )
+    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
+    from atq_tpu.train.retrieval import (
+        RetrievalConfig,
+        build_retrieval_train_step,
+    )
+
+    model = ATQMultimodalRetrieval(vocab_size=60, embed_dim=32,
+                                   hidden_dim=64, use_residual=True,
+                                   max_seq_length=8)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)),
+                   jnp.zeros((2, 8), jnp.int32), jnp.asarray([4, 4]))
+    cfg = RetrievalConfig(batch_size=8, image_size=32, embed_dim=32,
+                          hidden_dim=64, use_residual=True,
+                          max_seq_length=8, grad_accum_steps=accum)
+    tx = optax.sgd(1.0)
+    crit = HardNegativeMiningInfoNCE()
+    mgr = ContrastiveLearningManager(criterion=crit)
+    state = {"params": v["params"], "quant": v.get("quant", {}),
+             "constants": v.get("constants", {}),
+             "batch_stats": v.get("batch_stats", {}),
+             "opt_state": tx.init(v["params"]),
+             "step": jnp.asarray(0, jnp.int32)}
+    step = build_retrieval_train_step(model, tx, crit, mgr, cfg)
+    return model, crit, cfg, state, step
+
+
+def _retrieval_batch(n=8):
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.randn(n, 32, 32, 3).astype(np.float32))
+    txt = jnp.asarray(rng.randint(0, 60, (n, 8)).astype(np.int32))
+    ln = jnp.asarray(np.full(n, 6, np.int32))
+    return img, txt, ln
+
+
+def test_gradcache_matches_full_pool_oracle():
+    """GradCache accumulation == autodiff through 'embed each microbatch
+    sequentially, concatenate, loss over the FULL similarity matrix'.
+    This is the property naive accumulation breaks: the negative pool
+    stays the whole batch while activations are per-microbatch."""
+    accum = 2
+    model, crit, cfg, state, step_fn = _retrieval_setup(accum)
+    img, txt, ln = _retrieval_batch(8)
+    rng = jax.random.PRNGKey(9)
+    temperature = jnp.float32(0.07)
+    kind = jnp.int32(0)
+    got_state, got_loss = jax.jit(step_fn)(
+        state, (img, txt, ln), temperature, kind, rng)
+    got_grads = jax.tree_util.tree_map(
+        lambda old, new: old - new, state["params"], got_state["params"])
+
+    # --- oracle: differentiate the whole two-microbatch program ---------
+    step_rng = jax.random.fold_in(rng, state["step"])
+    micro = 8 // accum
+
+    def oracle_loss(params):
+        from atq_tpu.losses.contrastive import curriculum_weights_traced
+        from atq_tpu.models.fusion import l2_normalize
+
+        stats = state["batch_stats"]
+        ies, tes = [], []
+        for i in range(accum):
+            rng_m = jax.random.fold_in(step_rng, i)
+            (ie, te), mutated = model.apply(
+                {"params": params, "quant": state["quant"],
+                 "constants": state["constants"], "batch_stats": stats},
+                img[i * micro:(i + 1) * micro],
+                txt[i * micro:(i + 1) * micro],
+                ln[i * micro:(i + 1) * micro],
+                return_embeddings=True, train=True,
+                rngs={"dropout": rng_m}, mutable=["batch_stats"])
+            stats = mutated["batch_stats"]
+            ies.append(ie.astype(jnp.float32))
+            tes.append(te.astype(jnp.float32))
+        ie = jnp.concatenate(ies)
+        te = jnp.concatenate(tes)
+        similarity = jnp.matmul(l2_normalize(ie, axis=1),
+                                l2_normalize(te, axis=1).T)
+        weights = curriculum_weights_traced(similarity, kind)
+        return crit(ie, te, weights, temperature=temperature)
+
+    # Jit the oracle: eager (op-by-op) conv/BatchNorm gradients on CPU
+    # differ from the compiled program's at ~1e-6 in the forward, which
+    # batch-4 BatchNorm statistics amplify to percent-level conv-kernel
+    # gradient differences in the deep trunk. Compiled-vs-compiled, the
+    # two programs agree to ~1e-6 everywhere.
+    want_loss, want_grads = jax.jit(jax.value_and_grad(oracle_loss))(
+        state["params"])
+
+    assert abs(float(got_loss) - float(want_loss)) < 1e-5
+
+    def check(g, w):
+        scale = 1.0 + float(jnp.max(jnp.abs(w)))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-4 * scale, rtol=0)
+
+    jax.tree_util.tree_map(check, got_grads, want_grads)
+    # batch_stats advanced through both microbatches (pass-1 threading)
+    assert int(got_state["step"]) == 1
+
+
+def test_gradcache_negative_pool_is_full_batch():
+    """The loss the GradCache step reports must see all 8 samples as
+    mutual negatives — it must NOT equal the mean of two 4-sample-pool
+    losses on the same embeddings."""
+    accum = 2
+    model, crit, cfg, state, step_fn = _retrieval_setup(accum)
+    img, txt, ln = _retrieval_batch(8)
+    rng = jax.random.PRNGKey(9)
+    _, got_loss = jax.jit(step_fn)(
+        state, (img, txt, ln), jnp.float32(0.07), jnp.int32(0), rng)
+
+    from atq_tpu.losses.contrastive import curriculum_weights_traced
+    from atq_tpu.models.fusion import l2_normalize
+
+    step_rng = jax.random.fold_in(rng, state["step"])
+    micro_losses = []
+    stats = state["batch_stats"]
+    embs = []
+    for i in range(accum):
+        rng_m = jax.random.fold_in(step_rng, i)
+        (ie, te), mutated = model.apply(
+            {"params": state["params"], "quant": state["quant"],
+             "constants": state["constants"], "batch_stats": stats},
+            img[i * 4:(i + 1) * 4], txt[i * 4:(i + 1) * 4],
+            ln[i * 4:(i + 1) * 4], return_embeddings=True, train=True,
+            rngs={"dropout": rng_m}, mutable=["batch_stats"])
+        stats = mutated["batch_stats"]
+        embs.append((ie, te))
+        sim = jnp.matmul(l2_normalize(ie, axis=1),
+                         l2_normalize(te, axis=1).T)
+        w = curriculum_weights_traced(sim, jnp.int32(0))
+        micro_losses.append(float(crit(ie, te, w,
+                                       temperature=jnp.float32(0.07))))
+    micro_mean = sum(micro_losses) / accum
+    # 8-way pools have more negatives -> a different (higher) loss than
+    # the 4-way mean. If these matched, accumulation silently shrank the
+    # pool.
+    assert abs(float(got_loss) - micro_mean) > 1e-3

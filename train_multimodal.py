@@ -9,8 +9,12 @@ that). Runs the jitted TPU pipeline in atq_tpu/train/retrieval.py.
 
 import argparse
 
-from atq_tpu.utils.platform import apply_platform_env
+from atq_tpu.utils.platform import (
+    apply_platform_env,
+    force_platform_from_argv,
+)
 
+force_platform_from_argv()  # honor --device cpu before backends init
 apply_platform_env()
 
 from atq_tpu.train.retrieval import RetrievalConfig, train_retrieval
@@ -100,6 +104,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--moe_experts", type=int, default=0,
                         help="Ternary-expert MoE FFN in the text encoder "
                              "(0 = reference-parity dense FFN)")
+    parser.add_argument("--grad_accum_steps", type=int, default=1,
+                        help="GradCache two-pass accumulation: N"
+                             " microbatches per optimizer step with the"
+                             " FULL-batch contrastive negative pool —"
+                             " large pools at microbatch memory")
     parser.add_argument("--tp", type=int, default=1,
                         help="Tensor-parallel size over the 'model' mesh "
                              "axis (FFN out-features sharded; dp*tp must "
