@@ -113,6 +113,91 @@ def shard_tree_tp(tree, mesh: Mesh, tp: int,
     return placed, sharded_shapes
 
 
+def fsdp_spec(leaf, dp: int, min_size: int = 16384,
+              existing: P = None) -> P:
+    """ZeRO-3-style spec for one state leaf: the largest dp-divisible
+    axis of a large leaf shards over 'data'; small leaves (below
+    ``min_size`` elements) replicate — the all-gather latency isn't worth
+    saving a few KB. ``existing`` composes with a tensor-parallel spec:
+    dimensions already taken by 'model' are skipped and 'data' goes on a
+    free divisible one, giving 2-D ('model', 'data') weight sharding."""
+    shape = tuple(getattr(leaf, "shape", ()) or ())
+    if dp <= 1 or not shape:
+        return existing if existing is not None else P()
+    if int(np.prod(shape)) < min_size:
+        return existing if existing is not None else P()
+    taken = tuple(existing) if existing is not None else ()
+    taken = taken + (None,) * (len(shape) - len(taken))
+    best = -1
+    for i, d in enumerate(shape):
+        if taken[i] is None and d % dp == 0 and (
+                best < 0 or d > shape[best]):
+            best = i
+    if best < 0:
+        return existing if existing is not None else P()
+    spec = list(taken)
+    spec[best] = "data"
+    return P(*spec)
+
+
+def shard_state_fsdp(state: dict, mesh: Mesh, *, tp: int = 1,
+                     layer_names=DEFAULT_TP_LAYERS,
+                     min_size: int = 16384,
+                     param_keys=("params", "quant", "ema_params")) -> dict:
+    """Fully-sharded-data-parallel placement of a training-state dict
+    (ZeRO stage 3): every large leaf — weights, precision masks, adam
+    moments, EMA copies — shards over the 'data' axis, so per-device
+    state memory scales ~1/dp. The jitted step is unchanged: GSPMD
+    all-gathers each layer's weights for its forward/backward use and
+    reduce-scatters the gradients, which is exactly the FSDP schedule.
+
+    With ``tp > 1`` the placement composes with :func:`tp_spec`: a
+    tp-matched 2-D weight becomes P('model', 'data') when its in-features
+    axis is dp-divisible. Optimizer-state leaves (no stable key paths
+    inside optax wrapper types) are placed by shape match against the
+    param placements, like :func:`shard_state_tp`."""
+    dp = mesh.shape["data"]
+
+    if tp <= 1:
+        # Pure FSDP: the spec depends only on the leaf, so one rule
+        # places params, masks, optimizer moments, and EMA consistently.
+        def place(leaf):
+            spec = fsdp_spec(leaf, dp, min_size)
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+        return jax.tree_util.tree_map(place, state)
+
+    # tp + fsdp composition: params by path rule, optimizer state by
+    # shape match (same approach as shard_state_tp).
+    shape_spec = {}
+
+    def place_param(path, leaf):
+        keys = [str(getattr(p, "key", p)) for p in path]
+        base = tp_spec(keys, leaf, tp, layer_names)
+        spec = fsdp_spec(leaf, dp, min_size,
+                         existing=base if base != P() else None)
+        if spec != P():
+            shape_spec.setdefault(tuple(leaf.shape), spec)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    out = {}
+    for key in param_keys:
+        if key in state:
+            out[key] = jax.tree_util.tree_map_with_path(
+                place_param, state[key])
+
+    def place_by_shape(leaf):
+        spec = shape_spec.get(tuple(getattr(leaf, "shape", ()) or ()))
+        if spec is None:
+            spec = fsdp_spec(leaf, dp, min_size)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    for key, value in state.items():
+        if key not in out:
+            out[key] = jax.tree_util.tree_map(place_by_shape, value)
+    return out
+
+
 def shard_state_tp(state: dict, mesh: Mesh, tp: int,
                    layer_names=DEFAULT_TP_LAYERS,
                    param_keys=("params", "quant", "ema_params")) -> dict:

@@ -69,6 +69,8 @@ class ClassifierConfig:
     grad_mode: str = "parity"
     seed: int = 0
     dp: Optional[int] = None  # data-parallel size; None = all devices
+    fsdp: bool = False  # ZeRO-3-style fully-sharded data parallelism:
+    # large state leaves (weights, masks, adam moments) shard over 'data'
     tp: int = 1  # tensor parallelism: classifier projections sharded
     # over 'model' (weights + precision masks + adam moments)
     resume: bool = False
@@ -503,6 +505,14 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
         "step": jnp.asarray(0, jnp.int32),
     }
     def _place_state(s):
+        if cfg.fsdp:
+            from atq_tpu.parallel.mesh import shard_state_fsdp
+
+            return shard_state_fsdp(
+                s, mesh, tp=cfg.tp,
+                layer_names=("classifier_0", "classifier_3"),
+                param_keys=("atq_params", "quant", "base_params"),
+            )
         if cfg.tp > 1:
             from atq_tpu.parallel.mesh import shard_state_tp
 
@@ -512,6 +522,23 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
                 param_keys=("atq_params", "quant", "base_params"),
             )
         return replicate(s, mesh)
+
+    def _place_quant(tree):
+        if cfg.fsdp:
+            from atq_tpu.parallel.mesh import shard_state_fsdp
+
+            return shard_state_fsdp(
+                {"quant": tree}, mesh, tp=cfg.tp,
+                layer_names=("classifier_0", "classifier_3"),
+                param_keys=("quant",),
+            )["quant"]
+        if cfg.tp > 1:
+            from atq_tpu.parallel.mesh import shard_tree_tp
+
+            return shard_tree_tp(
+                tree, mesh, cfg.tp,
+                layer_names=("classifier_0", "classifier_3"))[0]
+        return replicate(tree, mesh)
 
     state = _place_state(state)
 
@@ -570,7 +597,9 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
             state["quant"] = _set_all_sparsity(
                 jax.device_get(state["quant"]), current_sparsity
             )
-            state["quant"] = replicate(state["quant"], mesh)
+            # Placement-preserving re-upload (replicate here would drop
+            # the TP/FSDP sharding of the precision masks each epoch).
+            state["quant"] = _place_quant(state["quant"])
 
         t0 = time.time()
         n_batches = 0

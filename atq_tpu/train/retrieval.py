@@ -106,6 +106,10 @@ class RetrievalConfig:
     tp: int = 1  # tensor parallelism over the 'model' mesh axis: the
     # transformer FFN projections (and their precision masks + adam
     # moments) shard their out-features; GSPMD inserts the collectives
+    fsdp: bool = False  # ZeRO-3-style fully-sharded data parallelism:
+    # every large state leaf (weights, masks, adam moments, EMA) shards
+    # over 'data'; GSPMD all-gathers weights per layer use and
+    # reduce-scatters grads. Composes with tp (2-D weight sharding).
     synthetic_images: int = 400
     resume: bool = False            # resume from the latest Orbax state
     profile_dir: Optional[str] = None  # jax.profiler trace output
@@ -760,8 +764,29 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
     }
     if cfg.use_ema:
         state["ema_params"] = jax.tree_util.tree_map(jnp.copy, params)
-    state = (shard_state_tp(state, mesh, cfg.tp) if cfg.tp > 1
-             else replicate(state, mesh))
+
+    def _place_state(s):
+        if cfg.fsdp:
+            from atq_tpu.parallel.mesh import shard_state_fsdp
+
+            return shard_state_fsdp(s, mesh, tp=cfg.tp)
+        if cfg.tp > 1:
+            return shard_state_tp(s, mesh, cfg.tp)
+        return replicate(s, mesh)
+
+    def _place_tree(tree):
+        """Placement for a standalone params-shaped tree (quant updates,
+        best-checkpoint reload) consistent with :func:`_place_state`."""
+        if cfg.fsdp:
+            from atq_tpu.parallel.mesh import shard_state_fsdp
+
+            return shard_state_fsdp({"params": tree}, mesh,
+                                    tp=cfg.tp)["params"]
+        if cfg.tp > 1:
+            return shard_tree_tp(tree, mesh, cfg.tp)[0]
+        return replicate(tree, mesh)
+
+    state = _place_state(state)
 
     train_step = jax.jit(
         build_retrieval_train_step(model, tx, criterion, cl_manager, cfg),
@@ -788,10 +813,9 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
                 orbax_dir, jax.device_get(state)
             )
             # Re-shard on restore: blanket replicate would silently drop
-            # the TP placement (weights, masks, adam moments) that
-            # shard_state_tp established at init.
-            state = (shard_state_tp(host_state, mesh, cfg.tp)
-                     if cfg.tp > 1 else replicate(host_state, mesh))
+            # the TP/FSDP placement (weights, masks, adam moments)
+            # established at init.
+            state = _place_state(host_state)
             start_epoch = done_epochs
             if verbose:
                 print(f"Resumed from {orbax_dir} at epoch {start_epoch}")
@@ -818,8 +842,7 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
             quant_host = set_quant_sparsity(
                 quant_host, sparsity_plan, epoch_progress(epoch, cfg.epochs)
             )
-        state["quant"] = (shard_tree_tp(quant_host, mesh, cfg.tp)[0]
-                          if cfg.tp > 1 else replicate(quant_host, mesh))
+        state["quant"] = _place_tree(quant_host)
 
         epoch_loss, n_batches, n_pairs = 0.0, 0, 0
         t0 = time.time()
@@ -939,12 +962,8 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
     if os.path.exists(best_path):
         best = load_checkpoint(best_path)
 
-        def _place(tree):
-            return (shard_tree_tp(tree, mesh, cfg.tp)[0] if cfg.tp > 1
-                    else replicate(tree, mesh))
-
-        state["params"] = _place(best["params"])
-        state["quant"] = _place(best["quant"])
+        state["params"] = _place_tree(best["params"])
+        state["quant"] = _place_tree(best["quant"])
         state["constants"] = replicate(best.get("constants", {}), mesh)
         state["batch_stats"] = replicate(best.get("batch_stats", {}), mesh)
         if verbose:

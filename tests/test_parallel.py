@@ -437,3 +437,125 @@ def test_tp_resume_restores_sharded_placement(tmp_path):
                            jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(loss_orig), float(loss_resumed),
                                rtol=1e-6)
+
+
+# ------------------------------ FSDP -----------------------------------
+
+
+def test_fsdp_spec_rules():
+    """fsdp_spec shards the largest dp-divisible axis of large leaves,
+    replicates small ones, and composes with a tensor-parallel spec."""
+    from atq_tpu.parallel.mesh import fsdp_spec
+
+    big = np.zeros((256, 3136), np.float32)
+    assert fsdp_spec(big, dp=8) == P(None, "data")     # 3136 > 256
+    assert fsdp_spec(big, dp=1) == P()                 # no dp -> replicate
+    small = np.zeros((10, 10), np.float32)
+    assert fsdp_spec(small, dp=8) == P()               # below min_size
+    odd = np.zeros((257, 3137), np.float32)
+    assert fsdp_spec(odd, dp=8) == P()                 # nothing divisible
+    # composition: 'model' holds axis 0, fsdp takes axis 1
+    assert (fsdp_spec(big, dp=4, existing=P("model", None))
+            == P("model", "data"))
+    # composition with no free divisible axis keeps the tp spec
+    tall = np.zeros((256, 3137), np.float32)
+    assert (fsdp_spec(tall, dp=4, existing=P("model", None))
+            == P("model", None))
+    scalar = np.float32(1.0)
+    assert fsdp_spec(scalar, dp=8) == P()
+
+
+def test_shard_state_fsdp_placements(mesh8):
+    """Pure-FSDP placement: params, matching adam moments, and EMA all
+    shard over 'data'; small leaves and scalars replicate."""
+    import optax
+
+    from atq_tpu.parallel.mesh import shard_state_fsdp
+
+    params = {"dense": {"weight": jnp.zeros((128, 256), jnp.float32),
+                        "bias": jnp.zeros((128,), jnp.float32)}}
+    tx = optax.adam(1e-3)
+    state = {"params": params, "opt_state": tx.init(params),
+             "ema_params": jax.tree_util.tree_map(jnp.copy, params),
+             "step": jnp.asarray(0, jnp.int32)}
+    placed = shard_state_fsdp(state, mesh8)
+    w = placed["params"]["dense"]["weight"]
+    assert w.sharding.spec == P(None, "data")
+    assert placed["ema_params"]["dense"]["weight"].sharding.spec == \
+        P(None, "data")
+    # adam mu/nu mirror the weight shape -> same placement
+    found = [l for l in jax.tree_util.tree_leaves(placed["opt_state"])
+             if getattr(l, "shape", ()) == (128, 256)]
+    assert found and all(l.sharding.spec == P(None, "data") for l in found)
+    assert placed["params"]["dense"]["bias"].sharding.spec == P()
+    assert placed["step"].sharding.spec == P()
+
+
+def test_classifier_train_step_fsdp_equivalence():
+    """dp=8 FSDP-sharded state (ZeRO-3) == dp=8 replicated state: GSPMD
+    all-gathers the sharded weights per use and reduce-scatters grads,
+    so the math is unchanged while per-device state memory drops."""
+    from atq_tpu.models.image_classifier import (
+        ATQImageClassifier,
+        BaselineCNNClassifier,
+    )
+    from atq_tpu.parallel.mesh import (
+        make_mesh,
+        replicate,
+        shard_batch,
+        shard_state_fsdp,
+    )
+    from atq_tpu.train.classifier import (
+        ClassifierConfig,
+        build_train_step,
+    )
+
+    atq_model = ATQImageClassifier(use_rpb=True, sparsity_target=0.3)
+    base_model = BaselineCNNClassifier()
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((2, 28, 28, 1), jnp.float32)
+    av = atq_model.init(rng, sample)
+    bv = base_model.init(jax.random.fold_in(rng, 1), sample)
+    rngd = np.random.RandomState(0)
+    batch = (rngd.randn(16, 28, 28, 1).astype(np.float32),
+             rngd.randint(0, 10, 16).astype(np.int32))
+
+    outs = []
+    for fsdp in (False, True):
+        cfg = ClassifierConfig(use_rpb=True, distill=True, batch_size=16,
+                               dp=8, fsdp=fsdp)
+        mesh = make_mesh(dp=8)
+        import optax
+
+        # SGD for checkable equivalence (see the tp test above).
+        atx = optax.sgd(1e-2)
+        btx = optax.sgd(1e-2)
+        state = {"atq_params": av["params"], "quant": av.get("quant", {}),
+                 "atq_batch_stats": av.get("batch_stats", {}),
+                 "atq_opt_state": atx.init(av["params"]),
+                 "base_params": bv["params"],
+                 "base_batch_stats": bv.get("batch_stats", {}),
+                 "base_opt_state": btx.init(bv["params"]),
+                 "step": jnp.asarray(0, jnp.int32)}
+        if fsdp:
+            state = shard_state_fsdp(state, mesh)
+            w = state["atq_params"]["classifier_0"]["weight"]
+            assert "data" in tuple(w.sharding.spec)
+            # the precision mask and the sgd momentum-free state follow
+            m = state["quant"]["classifier_0"]["precision_mask"]
+            assert m.sharding.spec == w.sharding.spec
+        else:
+            state = replicate(state, mesh)
+        step = jax.jit(build_train_step(atq_model, base_model, atx, btx,
+                                        cfg))
+        new_state, metrics = step(state, shard_batch(batch, mesh),
+                                  jnp.float32(0.3), jnp.float32(1e-5),
+                                  jax.random.PRNGKey(1))
+        outs.append((float(metrics["loss"]),
+                     jax.device_get(new_state["atq_params"])))
+
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
+                    jax.tree_util.tree_leaves(outs[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4)

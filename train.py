@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--tp", type=int, default=1,
                         help="Tensor-parallel size over 'model' "
                              "(classifier projections sharded)")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="ZeRO-3-style fully-sharded data parallelism:"
+                             " large state leaves (weights, masks, adam"
+                             " moments) shard over 'data'")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--subset-fraction", type=float, default=1.0,
                         help="Fraction of the dataset to use (quick runs)")
@@ -82,7 +86,7 @@ def main(argv=None):
         l1_factor=args.l1_factor, use_l1=args.use_l1,
         clip_grad=args.clip_grad, bit_packing=args.bit_packing,
         grad_mode=args.grad_mode, data_dir=args.data_dir, dp=args.dp,
-        tp=args.tp, seed=args.seed, resume=args.resume,
+        tp=args.tp, fsdp=args.fsdp, seed=args.seed, resume=args.resume,
         profile_dir=args.profile_dir,
         grad_accum_steps=args.grad_accum_steps,
     )

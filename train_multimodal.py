@@ -109,6 +109,11 @@ def build_parser() -> argparse.ArgumentParser:
                              " microbatches per optimizer step with the"
                              " FULL-batch contrastive negative pool —"
                              " large pools at microbatch memory")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="ZeRO-3-style fully-sharded data parallelism:"
+                             " large state leaves (weights, masks, adam"
+                             " moments, EMA) shard over 'data'; composes"
+                             " with --tp (2-D weight sharding)")
     parser.add_argument("--tp", type=int, default=1,
                         help="Tensor-parallel size over the 'model' mesh "
                              "axis (FFN out-features sharded; dp*tp must "
