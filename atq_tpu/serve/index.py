@@ -43,14 +43,19 @@ class EmbeddingIndex:
     the device commit happen under one lock.
     """
 
-    def __init__(self, dim: int, capacity: int = 1024):
+    def __init__(self, dim: int, capacity: int = 1024,
+                 quantize: str = "none"):
         if dim <= 0:
             raise ValueError(f"dim must be positive, got {dim}")
+        if quantize not in ("none", "int8"):
+            raise ValueError(f"quantize must be 'none' or 'int8', "
+                             f"got {quantize!r}")
         self.dim = int(dim)
+        self.quantize = quantize  # device-corpus dtype; host master is f32
         self._capacity = _next_pow2(max(1, capacity))
         self._embs = np.zeros((self._capacity, self.dim), np.float32)
         self._ids: List[str] = []
-        self._device_corpus = None  # committed jnp array, None = dirty
+        self._device_corpus = None  # committed jnp array(s), None = dirty
         self._lock = threading.RLock()
         self._search_cache: Dict[Tuple[int, int], object] = {}
 
@@ -97,21 +102,49 @@ class EmbeddingIndex:
             self._sharded_corpus = None
             return n1
 
+    # -- int8 device quantization ------------------------------------------
+
+    def _quantize_rows(self, embs: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-row symmetric int8: ``row ~= q * scale`` with
+        ``scale = max|row| / 127``. The host master stays f32 (adds and
+        saves are exact); only the DEVICE copy is int8, cutting corpus
+        HBM 4x — the lever that matters for large corpora. Scores are
+        computed as bf16-input / f32-accumulate matmuls on the int8
+        planes (int8 values are exact in bf16) scaled per corpus row."""
+        scales = np.max(np.abs(embs), axis=1) / 127.0
+        safe = np.maximum(scales, 1e-12)
+        q = np.clip(np.rint(embs / safe[:, None]), -127, 127)
+        return q.astype(np.int8), scales.astype(np.float32)
+
     # -- search -----------------------------------------------------------
 
     def _search_fn(self, capacity: int, k: int):
         """One jitted program per (capacity tier, static k)."""
-        key = (capacity, k)
+        key = (capacity, k, self.quantize)
         fn = self._search_cache.get(key)
         if fn is None:
             import jax
             import jax.numpy as jnp
 
-            def search(corpus, queries, n_valid):
-                scores = queries @ corpus.T  # (B, capacity) on the MXU
-                slot = jnp.arange(corpus.shape[0])[None, :]
-                scores = jnp.where(slot < n_valid, scores, -jnp.inf)
-                return jax.lax.top_k(scores, k)
+            if self.quantize == "int8":
+                def search(corpus, queries, n_valid):
+                    c8, scales = corpus
+                    scores = jax.lax.dot_general(
+                        queries.astype(jnp.bfloat16),
+                        c8.astype(jnp.bfloat16),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * scales[None, :]
+                    slot = jnp.arange(c8.shape[0])[None, :]
+                    scores = jnp.where(slot < n_valid, scores, -jnp.inf)
+                    return jax.lax.top_k(scores, k)
+            else:
+                def search(corpus, queries, n_valid):
+                    scores = queries @ corpus.T  # (B, capacity), MXU
+                    slot = jnp.arange(corpus.shape[0])[None, :]
+                    scores = jnp.where(slot < n_valid, scores, -jnp.inf)
+                    return jax.lax.top_k(scores, k)
 
             fn = jax.jit(search)
             self._search_cache[key] = fn
@@ -124,7 +157,7 @@ class EmbeddingIndex:
         (one local MXU matmul), then the per-shard candidates are
         all-gathered and reduced — the collective moves ``n_dev * k``
         candidates per query instead of the full score row."""
-        key = ("sharded", capacity, k, id(mesh))
+        key = ("sharded", capacity, k, id(mesh), self.quantize)
         fn = self._search_cache.get(key)
         if fn is None:
             import jax
@@ -135,11 +168,22 @@ class EmbeddingIndex:
             n_dev = mesh.shape[axis]
             local_cap = capacity // n_dev
             k_local = min(k, local_cap)
+            quantized = self.quantize == "int8"
 
             def local_search(corpus, queries, n_valid):
-                # corpus: (local_cap, dim) shard; queries replicated
+                # corpus: (local_cap, dim) shard (+ per-row scales when
+                # int8); queries replicated
                 i = jax.lax.axis_index(axis)
-                scores = queries @ corpus.T
+                if quantized:
+                    c8, scales = corpus
+                    scores = jax.lax.dot_general(
+                        queries.astype(jnp.bfloat16),
+                        c8.astype(jnp.bfloat16),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * scales[None, :]
+                else:
+                    scores = queries @ corpus.T
                 slot = i * local_cap + jnp.arange(local_cap)[None, :]
                 scores = jnp.where(slot < n_valid, scores, -jnp.inf)
                 v, idx = jax.lax.top_k(scores, k_local)
@@ -149,14 +193,20 @@ class EmbeddingIndex:
                 vf, sel = jax.lax.top_k(v_all, k)
                 return vf, jnp.take_along_axis(g_all, sel, axis=1)
 
+            corpus_spec = ((P(axis, None), P(axis)) if quantized
+                           else P(axis, None))
             mapped = shard_map(
                 local_search, mesh=mesh,
-                in_specs=(P(axis, None), P(None, None), P()),
+                in_specs=(corpus_spec, P(None, None), P()),
                 out_specs=(P(None, None), P(None, None)),
                 check_vma=False,
             )
             jitted = jax.jit(mapped)
-            corpus_sharding = NamedSharding(mesh, P(axis, None))
+            if quantized:
+                corpus_sharding = (NamedSharding(mesh, P(axis, None)),
+                                   NamedSharding(mesh, P(axis)))
+            else:
+                corpus_sharding = NamedSharding(mesh, P(axis, None))
             fn = (jitted, corpus_sharding)
             self._search_cache[key] = fn
         return fn
@@ -195,16 +245,23 @@ class EmbeddingIndex:
                 raise ValueError("index is empty")
             ids = list(self._ids)
             capacity = self._capacity
+            def host_corpus():  # quantize only on (re)commit, not per query
+                if self.quantize == "int8":
+                    return self._quantize_rows(self._embs)
+                return self._embs
+
             if use_mesh:
                 cached = getattr(self, "_sharded_corpus", None)
                 if cached is None or cached[0] is not mesh:
                     k_probe = self._sharded_search_fn(capacity, 1, mesh)
-                    corpus = jax.device_put(self._embs, k_probe[1])
+                    corpus = jax.tree_util.tree_map(
+                        jax.device_put, host_corpus(), k_probe[1])
                     self._sharded_corpus = (mesh, corpus)
                 corpus = self._sharded_corpus[1]
             else:
                 if self._device_corpus is None:
-                    self._device_corpus = jnp.asarray(self._embs)
+                    self._device_corpus = jax.tree_util.tree_map(
+                        jnp.asarray, host_corpus())
                 corpus = self._device_corpus
         k_eff = max(1, min(int(k), n))
         # Static k for top_k: compile per (capacity, k_eff); the traced
@@ -230,13 +287,14 @@ class EmbeddingIndex:
                                 embeddings=self._embs[:n])
 
     @classmethod
-    def load(cls, path: str, capacity: Optional[int] = None
-             ) -> "EmbeddingIndex":
+    def load(cls, path: str, capacity: Optional[int] = None,
+             quantize: str = "none") -> "EmbeddingIndex":
         data = np.load(path, allow_pickle=True)
         embs = np.asarray(data["embeddings"], np.float32)
         ids = [str(i) for i in data["ids"]]
         idx = cls(dim=embs.shape[1] if embs.size else 1,
-                  capacity=capacity or max(1, len(ids)))
+                  capacity=capacity or max(1, len(ids)),
+                  quantize=quantize)
         if ids:
             idx.add(ids, embs)
         return idx

@@ -70,6 +70,10 @@ def build_parser():
     p.add_argument("--index_file", type=str, default=None,
                    help="pre-built embedding-index .npz to preload into "
                         "the /search corpus (retrieval)")
+    p.add_argument("--index_int8", action="store_true",
+                   help="hold the device-side search corpus as per-row "
+                        "symmetric int8 (4x less HBM; scores via "
+                        "bf16-input f32-accumulate matmul)")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8712)
     p.add_argument("--max_batch", type=int, default=32)
@@ -180,13 +184,14 @@ def build_retrieval_routes(args, ckpt, grad_mode):
     from atq_tpu.serve.http import make_search_routes
     from atq_tpu.serve.index import EmbeddingIndex
 
+    quantize = "int8" if args.index_int8 else "none"
     if args.index_file:
-        index = EmbeddingIndex.load(args.index_file)
+        index = EmbeddingIndex.load(args.index_file, quantize=quantize)
         if index.dim != args.embed_dim:
             raise SystemExit(f"--index_file has dim {index.dim}, model "
                              f"has embed_dim {args.embed_dim}")
     else:
-        index = EmbeddingIndex(dim=args.embed_dim)
+        index = EmbeddingIndex(dim=args.embed_dim, quantize=quantize)
     routes = {**routes, **make_search_routes(index, routes)}
     return routes, [img_server, txt_server]
 

@@ -153,3 +153,75 @@ def test_sharded_search_matches_single_device():
     ids_shard2, s_shard2 = idx.search(q, k=7, mesh=mesh)
     assert ids_shard2 == ids_dense2
     np.testing.assert_allclose(s_shard2, s_dense2, rtol=1e-5)
+
+
+def test_int8_index_matches_exact_scores():
+    """int8 device corpus: scores within per-row quantization error of
+    the exact f32 search, identical top-k ids on a separated corpus, and
+    the device copy actually 4x smaller."""
+    rng = np.random.RandomState(3)
+    corpus = _unit_rows(rng, 64, 32)
+    q = _unit_rows(rng, 5, 32)
+
+    exact = EmbeddingIndex(dim=32, quantize="none")
+    quant = EmbeddingIndex(dim=32, quantize="int8")
+    ids = [f"i{i}" for i in range(64)]
+    exact.add(ids, corpus)
+    quant.add(ids, corpus)
+
+    ids_e, s_e = exact.search(q, k=5)
+    ids_q, s_q = quant.search(q, k=5)
+    # per-row symmetric int8 on unit-norm rows: |err| <= dim * (s/2) with
+    # s = max|row|/127 -> well under 2e-2 for these shapes. Score
+    # perturbation can swap near-tied neighbors inside the top-k (that's
+    # the accepted quantized-index tradeoff), so assert the top-1 and the
+    # top-k SET, not the exact order.
+    np.testing.assert_allclose(s_q, s_e, atol=2e-2)
+    for row_q, row_e in zip(ids_q, ids_e):
+        assert row_q[0] == row_e[0]
+        assert set(row_q) == set(row_e)
+
+    c8, scales = quant._device_corpus
+    assert c8.dtype == np.int8 and c8.nbytes * 4 == corpus.nbytes * (
+        quant.capacity // 64)
+    deq_err = np.max(np.abs(
+        np.asarray(c8, np.float32) * np.asarray(scales)[:, None]
+        - quant._embs))
+    assert deq_err < 1e-2  # host master stays exact f32; device ~int8
+
+
+def test_int8_index_add_recommits_and_load_flag(tmp_path):
+    rng = np.random.RandomState(4)
+    idx = EmbeddingIndex(dim=16, quantize="int8")
+    idx.add(["a", "b"], _unit_rows(rng, 2, 16))
+    idx.search(_unit_rows(rng, 1, 16)[0], k=1)
+    assert idx._device_corpus is not None
+    idx.add(["c"], _unit_rows(rng, 1, 16))
+    assert idx._device_corpus is None  # dirty -> requantized on next search
+    ids, _ = idx.search(_unit_rows(rng, 1, 16)[0], k=3)
+    assert sorted(ids) == ["a", "b", "c"]
+
+    path = str(tmp_path / "idx.npz")
+    idx.save(path)
+    loaded = EmbeddingIndex.load(path, quantize="int8")
+    assert loaded.quantize == "int8"
+    # save() persists the f32 master, so reloading loses nothing
+    np.testing.assert_array_equal(loaded._embs[:3], idx._embs[:3])
+
+
+def test_int8_sharded_search_matches_dense_int8():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from atq_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=8)
+    rng = np.random.RandomState(9)
+    idx = EmbeddingIndex(dim=16, capacity=32, quantize="int8")
+    idx.add([f"x{i}" for i in range(30)], _unit_rows(rng, 30, 16))
+    q = _unit_rows(rng, 3, 16)
+    ids_d, s_d = idx.search(q, k=4)
+    ids_s, s_s = idx.search(q, k=4, mesh=mesh)
+    assert ids_s == ids_d
+    np.testing.assert_allclose(s_s, s_d, rtol=1e-5, atol=1e-6)

@@ -559,3 +559,80 @@ def test_classifier_train_step_fsdp_equivalence():
                     jax.tree_util.tree_leaves(outs[1][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4)
+
+
+def test_fsdp_resume_restores_sharded_placement(tmp_path):
+    """--fsdp resume must re-place with shard_state_fsdp: placement by
+    .sharding assertion, bitwise state equality through the Orbax
+    round-trip, and a working step afterwards."""
+    from atq_tpu.losses.contrastive import (
+        ContrastiveLearningManager,
+        HardNegativeMiningInfoNCE,
+    )
+    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
+    from atq_tpu.parallel.mesh import (
+        make_mesh,
+        shard_batch,
+        shard_state_fsdp,
+    )
+    from atq_tpu.train.checkpoint import (
+        restore_train_state,
+        save_train_state,
+        wait_for_checkpoints,
+    )
+    from atq_tpu.train.retrieval import (
+        RetrievalConfig,
+        build_retrieval_train_step,
+        make_retrieval_optimizer,
+    )
+
+    model = ATQMultimodalRetrieval(vocab_size=48, embed_dim=32,
+                                   hidden_dim=64, use_residual=True,
+                                   max_seq_length=8)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)),
+                   jnp.zeros((2, 8), jnp.int32), jnp.asarray([4, 4]))
+    cfg = RetrievalConfig(batch_size=8, image_size=32, embed_dim=32,
+                          hidden_dim=64, max_seq_length=8,
+                          use_residual=True, dp=8, fsdp=True)
+    mesh = make_mesh(dp=8)
+    tx = make_retrieval_optimizer(cfg, 10)
+    state = {"params": v["params"], "quant": v.get("quant", {}),
+             "constants": v.get("constants", {}),
+             "batch_stats": v.get("batch_stats", {}),
+             "opt_state": tx.init(v["params"]),
+             "step": jnp.asarray(0, jnp.int32)}
+    state = shard_state_fsdp(state, mesh, min_size=1024)
+
+    ckpt_dir = str(tmp_path / "orbax")
+    save_train_state(ckpt_dir, 2, state)
+    wait_for_checkpoints()
+    host_state, done = restore_train_state(ckpt_dir,
+                                           jax.device_get(state))
+    assert done == 2
+    resumed = shard_state_fsdp(host_state, mesh, min_size=1024)
+
+    # A large leaf sharded over 'data', identically before/after resume.
+    w = resumed["params"]["text_encoder"]["embedding"]["embedding"]
+    orig = state["params"]["text_encoder"]["embedding"]["embedding"]
+    assert "data" in tuple(orig.sharding.spec)
+    assert w.sharding.spec == orig.sharding.spec
+
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(state)),
+                    jax.tree_util.tree_leaves(jax.device_get(resumed))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    crit = HardNegativeMiningInfoNCE(temperature_schedule=False)
+    mgr = ContrastiveLearningManager(criterion=crit)
+    step = jax.jit(build_retrieval_train_step(model, tx, crit, mgr, cfg))
+    rngd = np.random.RandomState(0)
+    batch = (rngd.randn(8, 32, 32, 3).astype(np.float32),
+             rngd.randint(0, 48, (8, 8)).astype(np.int32),
+             np.full(8, 6, np.int32))
+    _, loss_orig = step(state, shard_batch(batch, mesh),
+                        jnp.float32(0.07), jnp.int32(0),
+                        jax.random.PRNGKey(1))
+    _, loss_resumed = step(resumed, shard_batch(batch, mesh),
+                           jnp.float32(0.07), jnp.int32(0),
+                           jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(loss_orig), float(loss_resumed),
+                               rtol=1e-6)
