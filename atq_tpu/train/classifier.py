@@ -71,6 +71,7 @@ class ClassifierConfig:
     dp: Optional[int] = None  # data-parallel size; None = all devices
     fsdp: bool = False  # ZeRO-3-style fully-sharded data parallelism:
     # large state leaves (weights, masks, adam moments) shard over 'data'
+    tensorboard_dir: Optional[str] = None  # opt-in TensorBoard scalars
     tp: int = 1  # tensor parallelism: classifier projections sharded
     # over 'model' (weights + precision masks + adam moments)
     resume: bool = False
@@ -585,6 +586,9 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
     if cfg.profile_dir:
         jax.profiler.start_trace(cfg.profile_dir)
 
+    from atq_tpu.utils.tb import MetricsWriter
+
+    tb = MetricsWriter(cfg.tensorboard_dir)
     step_rng = jax.random.PRNGKey(cfg.seed + 17)
     for epoch in range(start_epoch, cfg.epochs):
         current_sparsity = initial_sparsity + (
@@ -637,6 +641,14 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
 
         val_acc, _ = _run_eval(atq_eval, state, val_loader)
         results["val_accuracies"].append(val_acc)
+        tb.scalars(epoch + 1, {
+            "train_acc": train_acc, "base_acc": base_acc,
+            "val_acc": val_acc,
+            "loss": totals["loss"] / max(1, n_batches),
+            "sparsity": current_sparsity,
+            "imgs_per_sec": imgs_per_sec,
+        }, prefix="classifier/")
+        tb.flush()
         if verbose:
             print(f"Epoch {epoch + 1}/{cfg.epochs} | ATQ {train_acc:.1f}% | "
                   f"Base {base_acc:.1f}% | "
@@ -730,6 +742,7 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
     from atq_tpu.train.checkpoint import wait_for_checkpoints
 
     wait_for_checkpoints()  # async Orbax saves must commit before exit
+    tb.close()
     return state, results
 
 

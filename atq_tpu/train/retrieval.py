@@ -106,6 +106,8 @@ class RetrievalConfig:
     tp: int = 1  # tensor parallelism over the 'model' mesh axis: the
     # transformer FFN projections (and their precision masks + adam
     # moments) shard their out-features; GSPMD inserts the collectives
+    tensorboard_dir: Optional[str] = None  # opt-in TensorBoard scalars
+    # (the JSON artifacts stay the schema-compatible source of truth)
     fsdp: bool = False  # ZeRO-3-style fully-sharded data parallelism:
     # every large state leaf (weights, masks, adam moments, EMA) shards
     # over 'data'; GSPMD all-gathers weights per layer use and
@@ -825,6 +827,9 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
 
     # Re-opened per epoch write: no handle to leak if training dies mid-epoch.
     metrics_path = os.path.join(cfg.output_dir, "metrics.jsonl")
+    from atq_tpu.utils.tb import MetricsWriter
+
+    tb = MetricsWriter(cfg.tensorboard_dir)
 
     if cfg.profile_dir:
         jax.profiler.start_trace(cfg.profile_dir)
@@ -911,12 +916,16 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
                     os.path.join(cfg.output_dir, "best_ema_model.npz"),
                 )
 
+        epoch_metrics = {
+            "train_loss": float(train_loss),
+            "pairs_per_sec": float(pairs_per_sec),
+            **{k: float(v) for k, v in val_metrics.items()},
+        }
         with open(metrics_path, "a") as metrics_log:
-            metrics_log.write(json.dumps({
-                "epoch": epoch + 1, "train_loss": float(train_loss),
-                "pairs_per_sec": float(pairs_per_sec),
-                **{k: float(v) for k, v in val_metrics.items()},
-            }) + "\n")
+            metrics_log.write(json.dumps(
+                {"epoch": epoch + 1, **epoch_metrics}) + "\n")
+        tb.scalars(epoch + 1, epoch_metrics, prefix="retrieval/")
+        tb.flush()
 
         if cfg.profile_dir and epoch == start_epoch:
             jax.profiler.stop_trace()
@@ -1021,6 +1030,7 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
     from atq_tpu.train.checkpoint import wait_for_checkpoints
 
     wait_for_checkpoints()  # async Orbax saves must commit before exit
+    tb.close()
     return state, history, report
 
 

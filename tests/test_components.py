@@ -346,3 +346,28 @@ def test_force_platform_from_argv(monkeypatch):
     monkeypatch.delenv("JAX_PLATFORMS", raising=False)
     force_platform_from_argv(argv=["--device", "cpu"])
     assert os.environ["JAX_PLATFORMS"] == "cpu"
+
+
+def test_metrics_writer_tensorboard(tmp_path):
+    """Opt-in TensorBoard writer: real event file when a backend exists,
+    silent no-op without a logdir, non-numeric values skipped."""
+    from atq_tpu.utils.tb import MetricsWriter
+
+    noop = MetricsWriter(None)
+    assert not noop.active
+    noop.scalars(1, {"x": 1.0})  # must not raise
+    noop.close()
+
+    logdir = str(tmp_path / "tb")
+    w = MetricsWriter(logdir)
+    if not w.active:  # no tensorboard backend in this env
+        return
+    w.scalars(1, {"loss": 2.5, "acc": 10.0, "skip_me": "nan-string"},
+              prefix="t/")
+    w.scalars(2, {"loss": 1.5})
+    w.close()
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(logdir, "events.out.tfevents.*"))
+    assert files and os.path.getsize(files[0]) > 0

@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Resume from the latest Orbax training state")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Capture a jax.profiler trace of epoch 1 here")
+    parser.add_argument("--tensorboard-dir", type=str, default=None,
+                        help="Write per-epoch TensorBoard scalars here "
+                             "(opt-in; JSON artifacts stay canonical)")
     parser.add_argument("--grad-accum-steps", type=int, default=1,
                         help="Split each batch into N microbatches inside "
                              "the compiled step (lax.scan) and apply one "
@@ -88,6 +91,7 @@ def main(argv=None):
         grad_mode=args.grad_mode, data_dir=args.data_dir, dp=args.dp,
         tp=args.tp, fsdp=args.fsdp, seed=args.seed, resume=args.resume,
         profile_dir=args.profile_dir,
+        tensorboard_dir=args.tensorboard_dir,
         grad_accum_steps=args.grad_accum_steps,
     )
     loaders = None

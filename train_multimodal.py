@@ -124,6 +124,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Resume from the latest Orbax training state")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="Capture a jax.profiler trace of epoch 1 here")
+    parser.add_argument("--tensorboard_dir", type=str, default=None,
+                        help="Write per-epoch TensorBoard scalars here "
+                             "(opt-in; JSON artifacts stay canonical)")
     parser.add_argument("--vocab_file", type=str, default=None,
                         help="Use a recorded vocabulary JSON (exact token-id"
                              " parity with a previous run)")
