@@ -4,6 +4,10 @@ from atq_tpu.parallel.mesh import (
     replicate,
     data_sharding,
 )
+from atq_tpu.parallel.multihost import (
+    global_batch_from_local,
+    process_batch_slice,
+)
 from atq_tpu.parallel.collectives import (
     all_gather_embeddings,
     psum_grads,
@@ -26,6 +30,8 @@ __all__ = [
     "shard_batch",
     "replicate",
     "data_sharding",
+    "global_batch_from_local",
+    "process_batch_slice",
     "all_gather_embeddings",
     "psum_grads",
     "pipeline_apply",

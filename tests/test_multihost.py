@@ -57,13 +57,18 @@ x_host = np.arange(64 * 16, dtype=np.float32).reshape(64, 16) / 100.0
 y_host = np.ones((64, 4), np.float32)
 
 w = jax.device_put(jnp.asarray(w_host), NamedSharding(mesh, P()))
-# Global batch from per-process shards: each process contributes the rows
-# its local devices own.
-batch_sharding = NamedSharding(mesh, P("data", None))
-x = jax.make_array_from_callback(
-    x_host.shape, batch_sharding, lambda idx: x_host[idx])
-y = jax.make_array_from_callback(
-    y_host.shape, batch_sharding, lambda idx: y_host[idx])
+# Global batch from per-process shards, through the production input
+# utility: each process loads ONLY its process_batch_slice rows and
+# global_batch_from_local stitches them into one 'data'-sharded array.
+from atq_tpu.parallel.multihost import (
+    global_batch_from_local,
+    process_batch_slice,
+)
+
+lo, hi = process_batch_slice(x_host.shape[0])
+assert (hi - lo) == x_host.shape[0] // 2
+x, y = global_batch_from_local((x_host[lo:hi], y_host[lo:hi]), mesh)
+assert x.shape == x_host.shape  # global shape spans both processes
 
 
 from functools import partial
@@ -123,3 +128,41 @@ def test_two_process_dp_step(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert "dp grad psum OK" in out, out
+
+
+def test_multihost_helpers_single_process(monkeypatch):
+    """Single-process degradation: process_batch_slice covers the whole
+    batch and global_batch_from_local == shard_batch placement."""
+    import jax
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from atq_tpu.parallel import multihost
+    from atq_tpu.parallel.mesh import make_mesh, shard_batch
+    from atq_tpu.parallel.multihost import (
+        global_batch_from_local,
+        process_batch_slice,
+    )
+
+    lo, hi = process_batch_slice(16)
+    assert (lo, hi) == (0, 16)
+
+    # Simulate a 4-process cluster for the slicing arithmetic.
+    monkeypatch.setattr(multihost.jax, "process_count", lambda: 4)
+    monkeypatch.setattr(multihost.jax, "process_index", lambda: 2)
+    assert process_batch_slice(16) == (8, 12)
+    with pytest.raises(ValueError, match="not divisible"):
+        process_batch_slice(7)
+    monkeypatch.undo()
+
+    mesh = make_mesh(dp=8)
+    batch = (np.random.RandomState(0).randn(16, 4).astype(np.float32),
+             np.arange(16, dtype=np.int32))
+    got = global_batch_from_local(batch, mesh)
+    want = shard_batch(batch, mesh)
+    assert got[0].sharding.spec == P("data", None)
+    assert got[1].sharding.spec == P("data")
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
