@@ -54,6 +54,12 @@ class EmbeddingIndex:
         self.quantize = quantize  # device-corpus dtype; host master is f32
         self._capacity = _next_pow2(max(1, capacity))
         self._embs = np.zeros((self._capacity, self.dim), np.float32)
+        # int8 mirror filled incrementally at add() time (per-row scales
+        # never change once written), so a re-commit after an add never
+        # re-quantizes the whole corpus under the lock.
+        if quantize == "int8":
+            self._q8 = np.zeros((self._capacity, self.dim), np.int8)
+            self._scales = np.zeros((self._capacity,), np.float32)
         self._ids: List[str] = []
         self._device_corpus = None  # committed jnp array(s), None = dirty
         self._lock = threading.RLock()
@@ -94,8 +100,17 @@ class EmbeddingIndex:
                 grown = np.zeros((new_cap, self.dim), np.float32)
                 grown[:n0] = self._embs[:n0]
                 self._embs = grown
+                if self.quantize == "int8":
+                    q8 = np.zeros((new_cap, self.dim), np.int8)
+                    q8[:n0] = self._q8[:n0]
+                    scales = np.zeros((new_cap,), np.float32)
+                    scales[:n0] = self._scales[:n0]
+                    self._q8, self._scales = q8, scales
                 self._capacity = new_cap
             self._embs[n0:n1] = embs
+            if self.quantize == "int8":
+                self._q8[n0:n1], self._scales[n0:n1] = \
+                    self._quantize_rows(embs)
             self._ids.extend(ids)
             # Re-commit lazily on next search (both placements).
             self._device_corpus = None
@@ -245,9 +260,9 @@ class EmbeddingIndex:
                 raise ValueError("index is empty")
             ids = list(self._ids)
             capacity = self._capacity
-            def host_corpus():  # quantize only on (re)commit, not per query
+            def host_corpus():  # already materialized; no work per commit
                 if self.quantize == "int8":
-                    return self._quantize_rows(self._embs)
+                    return (self._q8, self._scales)
                 return self._embs
 
             if use_mesh:

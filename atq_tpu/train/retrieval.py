@@ -135,6 +135,65 @@ class RetrievalConfig:
     # concatenated pool" program exactly, at microbatch activation memory.
 
 
+def _aux_mean(mutated):
+    """Mean of the sown MoE load-balance aux losses (0.0 when none)."""
+    aux_losses = jax.tree_util.tree_leaves(mutated.get("intermediates", {}))
+    if not aux_losses:
+        return jnp.asarray(0.0, jnp.float32)
+    return sum(jnp.mean(a) for a in aux_losses) / len(aux_losses)
+
+
+def pool_loss(img_emb, txt_emb, aux_mean, temperature, curriculum_kind,
+              baseline_embeds, image_ids, cfg, criterion):
+    """Full-pool retrieval loss given f32 embeddings: curriculum-weighted
+    hard-negative InfoNCE (or multi-positive InfoNCE over the image-id
+    positive mask), the MoE aux term, and the reference's distillation
+    blend (train_multimodal.py:504-524 — KL of a similarity matrix
+    against its own detached softmax, exactly zero with zero gradient;
+    kept faithful). ONE implementation shared by the plain train step and
+    the GradCache loss head so the two accumulation modes cannot
+    silently diverge."""
+    from atq_tpu.models.fusion import l2_normalize
+
+    from atq_tpu.losses.contrastive import curriculum_weights_traced
+
+    if cfg.use_multi_positive:
+        from atq_tpu.losses.contrastive import MultiPositiveInfoNCE
+
+        positive_mask = (image_ids[:, None]
+                         == image_ids[None, :]).astype(jnp.float32)
+        mp = MultiPositiveInfoNCE(lambda_reg=cfg.contrastive_reg)
+        loss = mp(img_emb, txt_emb, positive_mask,
+                  temperature=temperature)
+    else:
+        similarity = jnp.matmul(l2_normalize(img_emb, axis=1),
+                                l2_normalize(txt_emb, axis=1).T)
+        weights = curriculum_weights_traced(similarity, curriculum_kind)
+        loss = criterion(img_emb, txt_emb, weights,
+                         temperature=temperature)
+    if cfg.moe_experts > 0:
+        loss = loss + cfg.moe_aux_weight * aux_mean
+    if baseline_embeds is not None:
+        base_img, base_txt = baseline_embeds
+        temp = 3.0
+        img_sim = jnp.matmul(img_emb, base_img.T) / temp
+        txt_sim = jnp.matmul(txt_emb, base_txt.T) / temp
+
+        def _kl_self(sim):
+            target = jax.nn.softmax(jax.lax.stop_gradient(sim), axis=1)
+            log_t = jax.nn.log_softmax(jax.lax.stop_gradient(sim),
+                                       axis=1)
+            log_s = jax.nn.log_softmax(sim, axis=1)
+            return jnp.mean(
+                jnp.sum(target * (log_t - log_s), axis=1)
+            ) * temp ** 2
+
+        distill_loss = (_kl_self(img_sim) + _kl_self(txt_sim)) / 2
+        loss = ((1 - cfg.distill_weight) * loss
+                + cfg.distill_weight * distill_loss)
+    return loss
+
+
 def reinit_params(params, rng):
     """--reinit_model initialization (train_multimodal.py:292-307):
     embedding -> N(0, 0.02); >=2-D weights -> xavier_uniform(gain=0.8);
@@ -277,52 +336,14 @@ def build_retrieval_train_step(model, tx, criterion, cl_manager,
 
             (img_emb, txt_emb), mutated = _forward(
                 p, apply_images, captions, lengths, drop_rng)
-            img_emb = img_emb.astype(jnp.float32)
-            txt_emb = txt_emb.astype(jnp.float32)
-            from atq_tpu.models.fusion import l2_normalize
-
-            from atq_tpu.losses.contrastive import curriculum_weights_traced
-
-            if cfg.use_multi_positive:
-                from atq_tpu.losses.contrastive import MultiPositiveInfoNCE
-
-                positive_mask = (image_ids[:, None]
-                                 == image_ids[None, :]).astype(jnp.float32)
-                mp = MultiPositiveInfoNCE(lambda_reg=cfg.contrastive_reg)
-                loss = mp(img_emb, txt_emb, positive_mask,
-                          temperature=temperature)
-            else:
-                similarity = jnp.matmul(l2_normalize(img_emb, axis=1),
-                                        l2_normalize(txt_emb, axis=1).T)
-                weights = curriculum_weights_traced(similarity,
-                                                    curriculum_kind)
-                loss = criterion(img_emb, txt_emb, weights,
-                                 temperature=temperature)
-            if cfg.moe_experts > 0:
-                aux_losses = jax.tree_util.tree_leaves(
-                    mutated.get("intermediates", {}))
-                if aux_losses:
-                    loss = loss + cfg.moe_aux_weight * sum(
-                        jnp.mean(a) for a in aux_losses) / len(aux_losses)
-            if baseline_embeds is not None:
-                base_img, base_txt = baseline_embeds
-                temp = 3.0
-                img_sim = jnp.matmul(img_emb, base_img.T) / temp
-                txt_sim = jnp.matmul(txt_emb, base_txt.T) / temp
-
-                def _kl_self(sim):
-                    target = jax.nn.softmax(jax.lax.stop_gradient(sim),
-                                            axis=1)
-                    log_t = jax.nn.log_softmax(
-                        jax.lax.stop_gradient(sim), axis=1)
-                    log_s = jax.nn.log_softmax(sim, axis=1)
-                    return jnp.mean(
-                        jnp.sum(target * (log_t - log_s), axis=1)
-                    ) * temp ** 2
-
-                distill_loss = (_kl_self(img_sim) + _kl_self(txt_sim)) / 2
-                loss = ((1 - cfg.distill_weight) * loss
-                        + cfg.distill_weight * distill_loss)
+            loss = pool_loss(
+                img_emb.astype(jnp.float32),
+                txt_emb.astype(jnp.float32),
+                _aux_mean(mutated), temperature, curriculum_kind,
+                baseline_embeds,
+                image_ids if cfg.use_multi_positive else None,
+                cfg, criterion,
+            )
             return loss, mutated
 
         (loss, mutated), grads = jax.value_and_grad(
@@ -389,13 +410,6 @@ def build_retrieval_train_step(model, tx, criterion, cl_manager,
             fwd = jax.checkpoint(fwd)
         return fwd(params, imgs, captions, lengths, rng)
 
-    def _aux_mean(mutated):
-        aux_losses = jax.tree_util.tree_leaves(
-            mutated.get("intermediates", {}))
-        if not aux_losses:
-            return jnp.asarray(0.0, jnp.float32)
-        return sum(jnp.mean(a) for a in aux_losses) / len(aux_losses)
-
     def gradcache_train_step(state, batch, temperature, curriculum_kind,
                              rng, baseline_embeds=None):
         if cfg.use_multi_positive:
@@ -440,47 +454,12 @@ def build_retrieval_train_step(model, tx, criterion, cl_manager,
         # -- full-pool loss and its gradient wrt the embeddings ----------
         def loss_head(embs):
             ie, te = embs
-            from atq_tpu.models.fusion import l2_normalize
-
-            from atq_tpu.losses.contrastive import (
-                curriculum_weights_traced,
+            return pool_loss(
+                ie, te, aux_mean, temperature, curriculum_kind,
+                baseline_embeds,
+                image_ids if cfg.use_multi_positive else None,
+                cfg, criterion,
             )
-
-            if cfg.use_multi_positive:
-                from atq_tpu.losses.contrastive import MultiPositiveInfoNCE
-
-                positive_mask = (image_ids[:, None]
-                                 == image_ids[None, :]).astype(jnp.float32)
-                mp = MultiPositiveInfoNCE(lambda_reg=cfg.contrastive_reg)
-                loss = mp(ie, te, positive_mask, temperature=temperature)
-            else:
-                similarity = jnp.matmul(l2_normalize(ie, axis=1),
-                                        l2_normalize(te, axis=1).T)
-                weights = curriculum_weights_traced(similarity,
-                                                    curriculum_kind)
-                loss = criterion(ie, te, weights, temperature=temperature)
-            if cfg.moe_experts > 0:
-                loss = loss + cfg.moe_aux_weight * aux_mean
-            if has_baseline:
-                base_img, base_txt = baseline_embeds
-                temp = 3.0
-                img_sim = jnp.matmul(ie, base_img.T) / temp
-                txt_sim = jnp.matmul(te, base_txt.T) / temp
-
-                def _kl_self(sim):
-                    target = jax.nn.softmax(jax.lax.stop_gradient(sim),
-                                            axis=1)
-                    log_t = jax.nn.log_softmax(
-                        jax.lax.stop_gradient(sim), axis=1)
-                    log_s = jax.nn.log_softmax(sim, axis=1)
-                    return jnp.mean(
-                        jnp.sum(target * (log_t - log_s), axis=1)
-                    ) * temp ** 2
-
-                distill_loss = (_kl_self(img_sim) + _kl_self(txt_sim)) / 2
-                loss = ((1 - cfg.distill_weight) * loss
-                        + cfg.distill_weight * distill_loss)
-            return loss
 
         loss, (cot_img, cot_txt) = jax.value_and_grad(loss_head)(
             (img_emb, txt_emb))

@@ -51,12 +51,21 @@ def force_platform_from_argv(argv=None, flag="--device"):
     import sys
 
     argv = sys.argv[1:] if argv is None else argv
+
+    def is_flag(token: str) -> bool:
+        # argparse accepts unambiguous prefix abbreviations (--devic,
+        # --devi, ...); honor them too, down to the shortest prefix that
+        # is unambiguous in both CLIs ('--de': no other flag starts with
+        # 'de' — --distill/--data_dir diverge at the third character).
+        return (len(token) >= 4 and token.startswith("--de")
+                and flag.startswith(token))
+
     dev = None
     for i, a in enumerate(argv):
-        if a == flag and i + 1 < len(argv):
-            dev = argv[i + 1]
-        elif a.startswith(flag + "="):
-            dev = a.split("=", 1)[1]
+        name, _, value = a.partition("=")
+        if is_flag(name):
+            dev = value if value else (
+                argv[i + 1] if i + 1 < len(argv) else None)
     if dev == "cpu":
         os.environ["JAX_PLATFORMS"] = dev
         try:

@@ -20,20 +20,26 @@ class MetricsWriter:
         self._writer = None
         if not logdir:
             return
-        try:
-            from tensorboardX import SummaryWriter
-        except ImportError:
+        # Broad except: a present-but-broken backend (e.g. a protobuf
+        # version mismatch raising TypeError at import, or a constructor
+        # failure) must degrade to the next backend / the no-op rather
+        # than abort training at startup.
+        for importer in (
+            lambda: __import__("tensorboardX").SummaryWriter,
+            lambda: __import__(
+                "torch.utils.tensorboard", fromlist=["SummaryWriter"]
+            ).SummaryWriter,
+        ):
             try:
-                from torch.utils.tensorboard import SummaryWriter
-            except ImportError:
-                import warnings
-
-                warnings.warn(
-                    "tensorboard logdir given but no tensorboardX / torch "
-                    "SummaryWriter importable; metrics go to the JSON "
-                    "artifacts only")
+                self._writer = importer()(logdir)
                 return
-        self._writer = SummaryWriter(logdir)
+            except Exception:
+                continue
+        import warnings
+
+        warnings.warn(
+            "tensorboard logdir given but no working tensorboardX / "
+            "torch SummaryWriter; metrics go to the JSON artifacts only")
 
     @property
     def active(self) -> bool:

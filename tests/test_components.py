@@ -371,3 +371,21 @@ def test_metrics_writer_tensorboard(tmp_path):
 
     files = glob.glob(os.path.join(logdir, "events.out.tfevents.*"))
     assert files and os.path.getsize(files[0]) > 0
+
+
+def test_force_platform_accepts_argparse_abbreviations(monkeypatch):
+    """argparse allows unambiguous prefix abbreviations of --device; the
+    pre-init platform forcing must see them too."""
+    import os
+
+    from atq_tpu.utils.platform import force_platform_from_argv
+
+    for form in (["--devic", "cpu"], ["--devi=cpu"], ["--device", "cpu"]):
+        monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+        force_platform_from_argv(argv=form)
+        assert os.environ.get("JAX_PLATFORMS") == "cpu", form
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    # too-short / unrelated tokens never match
+    for form in (["--d", "cpu"], ["--distill"], ["--data_dir", "cpu"]):
+        force_platform_from_argv(argv=form)
+        assert "JAX_PLATFORMS" not in os.environ, form

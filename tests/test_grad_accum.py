@@ -391,3 +391,127 @@ def test_gradcache_dp_mesh_matches_single_device():
         bad += int(np.sum(d > 2e-3))
         assert float(d.max()) < 0.1, float(d.max())
     assert bad / total < 2e-3, f"{bad}/{total} elements differ > 2e-3"
+
+
+def test_gradcache_distill_scales_like_plain_blend():
+    """The reference's distillation term is a faithful no-op (KL of the
+    similarity matrix against its own detached softmax: zero value, zero
+    gradient — train_multimodal.py:504-524), so with baseline embeddings
+    the GradCache loss must equal (1-distill_weight) x the no-baseline
+    loss and the parameter update must scale the same way."""
+    accum = 2
+    model, crit, cfg, state, step_fn = _retrieval_setup(accum)
+    img, txt, ln = _retrieval_batch(8)
+    rng = jax.random.PRNGKey(9)
+    step = jax.jit(step_fn)
+
+    s0, loss0 = step(state, (img, txt, ln), jnp.float32(0.07),
+                     jnp.int32(0), rng)
+    base = (jnp.asarray(np.random.RandomState(1).randn(8, 32),
+                        np.float32),
+            jnp.asarray(np.random.RandomState(2).randn(8, 32),
+                        np.float32))
+    s1, loss1 = step(state, (img, txt, ln), jnp.float32(0.07),
+                     jnp.int32(0), rng, base)
+
+    w = cfg.distill_weight
+    np.testing.assert_allclose(float(loss1), (1 - w) * float(loss0),
+                               rtol=1e-5)
+    for p0, pa, pb in zip(jax.tree_util.tree_leaves(state["params"]),
+                          jax.tree_util.tree_leaves(s0["params"]),
+                          jax.tree_util.tree_leaves(s1["params"])):
+        d_plain = np.asarray(pa) - np.asarray(p0)
+        d_blend = np.asarray(pb) - np.asarray(p0)
+        scale = 1.0 + float(np.max(np.abs(d_plain)))
+        np.testing.assert_allclose(d_blend, (1 - w) * d_plain,
+                                   atol=1e-4 * scale, rtol=0)
+
+
+def test_gradcache_moe_aux_matches_oracle():
+    """GradCache with MoE experts: the pass-2 direct aux-gradient path
+    (aux_scale * moe_aux_weight * mean-per-microbatch * 1/n) must equal
+    autodiff through 'embed microbatches, contrastive over the pool,
+    plus moe_aux_weight * mean of the microbatch aux losses'."""
+    from atq_tpu.losses.contrastive import (
+        ContrastiveLearningManager,
+        HardNegativeMiningInfoNCE,
+        curriculum_weights_traced,
+    )
+    from atq_tpu.models.fusion import l2_normalize
+    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
+    from atq_tpu.train.retrieval import (
+        RetrievalConfig,
+        build_retrieval_train_step,
+    )
+
+    accum = 2
+    model = ATQMultimodalRetrieval(vocab_size=60, embed_dim=32,
+                                   hidden_dim=64, use_residual=True,
+                                   max_seq_length=8, text_moe_experts=2)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)),
+                   jnp.zeros((2, 8), jnp.int32), jnp.asarray([4, 4]))
+    cfg = RetrievalConfig(batch_size=8, image_size=32, embed_dim=32,
+                          hidden_dim=64, use_residual=True,
+                          max_seq_length=8, grad_accum_steps=accum,
+                          moe_experts=2)
+    tx = optax.sgd(1.0)
+    crit = HardNegativeMiningInfoNCE()
+    mgr = ContrastiveLearningManager(criterion=crit)
+    state = {"params": v["params"], "quant": v.get("quant", {}),
+             "constants": v.get("constants", {}),
+             "batch_stats": v.get("batch_stats", {}),
+             "opt_state": tx.init(v["params"]),
+             "step": jnp.asarray(0, jnp.int32)}
+    step_fn = build_retrieval_train_step(model, tx, crit, mgr, cfg)
+    img, txt, ln = _retrieval_batch(8)
+    rng = jax.random.PRNGKey(9)
+    temperature = jnp.float32(0.07)
+    kind = jnp.int32(0)
+    got_state, got_loss = jax.jit(step_fn)(
+        state, (img, txt, ln), temperature, kind, rng)
+    got_grads = jax.tree_util.tree_map(
+        lambda old, new: old - new, state["params"], got_state["params"])
+
+    step_rng = jax.random.fold_in(rng, state["step"])
+    micro = 8 // accum
+
+    def oracle_loss(params):
+        stats = state["batch_stats"]
+        ies, tes, auxs = [], [], []
+        for i in range(accum):
+            rng_m = jax.random.fold_in(step_rng, i)
+            (ie, te), mutated = model.apply(
+                {"params": params, "quant": state["quant"],
+                 "constants": state["constants"], "batch_stats": stats},
+                img[i * micro:(i + 1) * micro],
+                txt[i * micro:(i + 1) * micro],
+                ln[i * micro:(i + 1) * micro],
+                return_embeddings=True, train=True,
+                rngs={"dropout": rng_m},
+                mutable=["batch_stats", "intermediates"])
+            stats = mutated["batch_stats"]
+            ies.append(ie.astype(jnp.float32))
+            tes.append(te.astype(jnp.float32))
+            aux_leaves = jax.tree_util.tree_leaves(
+                mutated.get("intermediates", {}))
+            auxs.append(sum(jnp.mean(a) for a in aux_leaves)
+                        / len(aux_leaves))
+        ie = jnp.concatenate(ies)
+        te = jnp.concatenate(tes)
+        similarity = jnp.matmul(l2_normalize(ie, axis=1),
+                                l2_normalize(te, axis=1).T)
+        weights = curriculum_weights_traced(similarity, kind)
+        loss = crit(ie, te, weights, temperature=temperature)
+        return loss + cfg.moe_aux_weight * (sum(auxs) / accum)
+
+    want_loss, want_grads = jax.jit(jax.value_and_grad(oracle_loss))(
+        state["params"])
+
+    assert abs(float(got_loss) - float(want_loss)) < 1e-5
+
+    def check(g, w):
+        scale = 1.0 + float(jnp.max(jnp.abs(w)))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-4 * scale, rtol=0)
+
+    jax.tree_util.tree_map(check, got_grads, want_grads)
