@@ -68,6 +68,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Resume from the latest Orbax training state")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="Capture a jax.profiler trace of epoch 1 here")
+    parser.add_argument("--checkpoint-dir", type=str, default="checkpoints",
+                        help="Directory for model checkpoints and the "
+                             "Orbax training state")
+    parser.add_argument("--plots-dir", type=str, default="plots",
+                        help="Directory for the training plots")
+    parser.add_argument("--orbax-freq", type=int, default=5,
+                        help="Epochs between full-state Orbax saves "
+                             "(resume granularity)")
     parser.add_argument("--tensorboard-dir", type=str, default=None,
                         help="Write per-epoch TensorBoard scalars here "
                              "(opt-in; JSON artifacts stay canonical)")
@@ -92,6 +100,9 @@ def main(argv=None):
         tp=args.tp, fsdp=args.fsdp, seed=args.seed, resume=args.resume,
         profile_dir=args.profile_dir,
         tensorboard_dir=args.tensorboard_dir,
+        checkpoint_dir=args.checkpoint_dir,
+        plots_dir=args.plots_dir,
+        orbax_freq=args.orbax_freq,
         grad_accum_steps=args.grad_accum_steps,
     )
     loaders = None
