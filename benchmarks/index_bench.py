@@ -49,6 +49,9 @@ def main():
                     default=[10_000, 100_000, 1_000_000])
     ap.add_argument("--query-batches", type=int, nargs="+",
                     default=[1, 32, 256])
+    ap.add_argument("--int8", action="store_true",
+                    help="bench the int8 device corpus (4x less HBM; "
+                         "bf16-input f32-accumulate scoring)")
     args = ap.parse_args()
 
     from atq_tpu.serve.index import EmbeddingIndex
@@ -58,13 +61,15 @@ def main():
     for corpus_n in args.corpus_sizes:
         corpus = rng.randn(corpus_n, args.dim).astype(np.float32)
         corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
-        index = EmbeddingIndex(dim=args.dim, capacity=corpus_n)
+        index = EmbeddingIndex(dim=args.dim, capacity=corpus_n,
+                               quantize="int8" if args.int8 else "none")
         index.add([str(i) for i in range(corpus_n)], corpus)
         for qb in args.query_batches:
             q = rng.randn(qb, args.dim).astype(np.float32)
             q /= np.linalg.norm(q, axis=1, keepdims=True)
             dt = measure(index, q, args.k)
             row = {"corpus": corpus_n, "query_batch": qb,
+                   "quantize": index.quantize,
                    "ms_per_call": dt * 1000,
                    "queries_per_sec": qb / dt}
             print(row, flush=True)
