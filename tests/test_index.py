@@ -225,3 +225,27 @@ def test_int8_sharded_search_matches_dense_int8():
     ids_s, s_s = idx.search(q, k=4, mesh=mesh)
     assert ids_s == ids_d
     np.testing.assert_allclose(s_s, s_d, rtol=1e-5, atol=1e-6)
+
+
+def test_search_routes_over_int8_index():
+    """The HTTP route layer is agnostic to the corpus dtype: the same
+    /index/add + /search flow works over an int8 device corpus (the
+    serve.py --index_int8 configuration)."""
+    def fake_embed_image(payload):
+        img = np.asarray(payload["image"], np.float32)
+        v = np.asarray([img.mean(), img.max(), 1.0], np.float32)
+        return {"embedding": (v / np.linalg.norm(v)).tolist()}
+
+    embed_routes = {"/embed_image": fake_embed_image}
+    index = EmbeddingIndex(dim=3, quantize="int8")
+    routes = make_search_routes(index, embed_routes)
+
+    img = np.zeros((4, 4, 3), np.float32)
+    assert routes["/index/add"]({"id": "dark", "image": img.tolist()}
+                                )["count"] == 1
+    assert routes["/index/add"]({"id": "bright",
+                                 "image": (img + 1).tolist()})["count"] == 2
+    out = routes["/search"]({"image": (img + 0.9).tolist(), "k": 2})
+    assert [r["id"] for r in out["results"]] == ["bright", "dark"]
+    c8, _ = index._device_corpus
+    assert c8.dtype == np.int8
