@@ -16,7 +16,8 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def build_retrieval_step(batch, image_size=160, use_amp=False, vocab=3000):
+def build_retrieval_step(batch, image_size=160, use_amp=False, vocab=3000,
+                         grad_accum_steps=1):
     """Build the jitted config-5 retrieval train step on the default
     platform. Returns ``(jitted_step, step_fn, state, args)`` where
     ``step_fn(state)`` advances one step with device-resident constants
@@ -39,7 +40,8 @@ def build_retrieval_step(batch, image_size=160, use_amp=False, vocab=3000):
 
     cfg = RetrievalConfig(batch_size=batch, image_size=image_size,
                           embed_dim=192, hidden_dim=384, use_residual=True,
-                          gradual_quant=True, use_amp=use_amp)
+                          gradual_quant=True, use_amp=use_amp,
+                          grad_accum_steps=grad_accum_steps)
     model = ATQMultimodalRetrieval(vocab_size=vocab, embed_dim=192,
                                    hidden_dim=384, use_residual=True,
                                    max_seq_length=50,

@@ -35,14 +35,14 @@ from builders import build_retrieval_step  # noqa: E402,F401  (canonical
 # config-5 step construction shared with run_all.py and the A/B harnesses)
 
 
-def measure(batch, use_amp, iters=10):
+def measure(batch, use_amp, iters=10, grad_accum_steps=1):
     from atq_tpu.utils.flops import compiled_flops, mfu
     from atq_tpu.utils.timing import steady_state_sec_per_step
 
     import jax
 
-    step, step_fn, state, args = build_retrieval_step(batch,
-                                                      use_amp=use_amp)
+    step, step_fn, state, args = build_retrieval_step(
+        batch, use_amp=use_amp, grad_accum_steps=grad_accum_steps)
     dt, state = steady_state_sec_per_step(step_fn, state, (), warmup=3,
                                           iters=iters)
     abstract = jax.tree_util.tree_map(
@@ -51,6 +51,7 @@ def measure(batch, use_amp, iters=10):
     util = mfu(flops, dt)
     row = {
         "batch": batch, "use_amp": use_amp,
+        "grad_accum_steps": grad_accum_steps,
         "ms_per_step": dt * 1000, "pairs_per_sec": batch / dt,
         "flops_per_step": flops,
         "mfu_pct": None if util is None else util * 100.0,
@@ -59,12 +60,13 @@ def measure(batch, use_amp, iters=10):
     return row
 
 
-def profile_config5(out_dir, batch=64, use_amp=False, iters=8):
+def profile_config5(out_dir, batch=64, use_amp=False, iters=8,
+                    grad_accum_steps=1):
     """Capture a steady-state trace and return the top-op rows."""
     from atq_tpu.utils.profile_step import profile_fn, print_summary
 
-    step, step_fn, state, args = build_retrieval_step(batch,
-                                                      use_amp=use_amp)
+    step, step_fn, state, args = build_retrieval_step(
+        batch, use_amp=use_amp, grad_accum_steps=grad_accum_steps)
 
     holder = {"state": state}
 
@@ -85,6 +87,8 @@ def main():
     parser.add_argument("--quick", action="store_true",
                         help="smaller sweep (batch 64/256, fewer iters)")
     parser.add_argument("--skip-profile", action="store_true")
+    parser.add_argument("--gradcache", action="store_true",
+                        help="also sweep GradCache accumulation configs")
     args = parser.parse_args()
 
     results = {"no_pallas": os.environ.get("ATQ_NO_PALLAS", "0")}
@@ -95,6 +99,20 @@ def main():
 
     batches = (64, 256) if args.quick else (64, 128, 256, 512)
     sweep = []
+    if args.gradcache:
+        # GradCache rows: same pool sizes at microbatch activation
+        # memory — how much step time the two-pass scheme costs on-chip.
+        for b, accum in ((128, 2), (256, 4), (512, 8)):
+            print(f"--- gradcache batch {b} accum {accum} ---", flush=True)
+            try:
+                row = measure(b, True, iters=6, grad_accum_steps=accum)
+            except Exception as e:
+                row = {"batch": b, "grad_accum_steps": accum,
+                       "error": str(e)}
+            print(row, flush=True)
+            sweep.append(row)
+            results["sweep"] = sweep
+            flush()
     for use_amp in (False, True):
         for b in batches:
             print(f"--- batch {b} amp={use_amp} ---", flush=True)
