@@ -319,7 +319,9 @@ def _run_phase(phase, attempts=2):
 
 
 def main():
-    res_t = _run_phase("tpu")
+    # Wedges of several hours were observed on this runtime; give the
+    # first phase three spaced attempts (~40 min) before giving up.
+    res_t = _run_phase("tpu", attempts=3)
     # If the classifier phase never came back the chip is wedged; don't
     # burn another retry cycle on the retrieval phase.
     res_r = _run_phase("retrieval", attempts=1 if res_t is None else 2)
