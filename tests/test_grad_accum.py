@@ -515,3 +515,54 @@ def test_gradcache_moe_aux_matches_oracle():
                                    atol=1e-4 * scale, rtol=0)
 
     jax.tree_util.tree_map(check, got_grads, want_grads)
+
+
+def test_gradcache_amp_fsdp_smoke():
+    """The production combo — bf16 AMP model, FSDP-sharded state, and
+    GradCache accumulation — must compile and produce a finite loss in
+    one jitted step on the 8-device mesh."""
+    from atq_tpu.losses.contrastive import (
+        ContrastiveLearningManager,
+        HardNegativeMiningInfoNCE,
+    )
+    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
+    from atq_tpu.parallel.mesh import (
+        make_mesh,
+        shard_batch,
+        shard_state_fsdp,
+    )
+    from atq_tpu.train.retrieval import (
+        RetrievalConfig,
+        build_retrieval_train_step,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = ATQMultimodalRetrieval(vocab_size=60, embed_dim=32,
+                                   hidden_dim=64, use_residual=True,
+                                   max_seq_length=8,
+                                   compute_dtype=jnp.bfloat16)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)),
+                   jnp.zeros((2, 8), jnp.int32), jnp.asarray([4, 4]))
+    cfg = RetrievalConfig(batch_size=16, image_size=32, embed_dim=32,
+                          hidden_dim=64, use_residual=True,
+                          max_seq_length=8, grad_accum_steps=2,
+                          use_amp=True, fsdp=True, dp=8)
+    tx = optax.adamw(1e-4)
+    crit = HardNegativeMiningInfoNCE()
+    mgr = ContrastiveLearningManager(criterion=crit)
+    mesh = make_mesh(dp=8)
+    state = shard_state_fsdp({
+        "params": v["params"], "quant": v.get("quant", {}),
+        "constants": v.get("constants", {}),
+        "batch_stats": v.get("batch_stats", {}),
+        "opt_state": tx.init(v["params"]),
+        "step": jnp.asarray(0, jnp.int32),
+    }, mesh, min_size=1024)
+    step = jax.jit(build_retrieval_train_step(model, tx, crit, mgr, cfg))
+    img, txt, ln = _retrieval_batch(16)
+    new_state, loss = step(state, shard_batch((img, txt, ln), mesh),
+                           jnp.float32(0.07), jnp.int32(0),
+                           jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))
+    assert int(new_state["step"]) == 1
