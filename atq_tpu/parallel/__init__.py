@@ -3,6 +3,11 @@ from atq_tpu.parallel.mesh import (
     shard_batch,
     replicate,
     data_sharding,
+    fsdp_spec,
+    shard_state_fsdp,
+    shard_state_tp,
+    shard_tree_tp,
+    init_distributed,
 )
 from atq_tpu.parallel.multihost import (
     global_batch_from_local,
@@ -30,6 +35,11 @@ __all__ = [
     "shard_batch",
     "replicate",
     "data_sharding",
+    "fsdp_spec",
+    "shard_state_fsdp",
+    "shard_state_tp",
+    "shard_tree_tp",
+    "init_distributed",
     "global_batch_from_local",
     "process_batch_slice",
     "all_gather_embeddings",
