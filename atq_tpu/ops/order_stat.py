@@ -64,6 +64,8 @@ def _kernel(bits_ref, rank_ref, stat_ref, agg_ref):
 def _pallas_select(bits2d, rank):
     from jax.experimental.pallas import tpu as pltpu
 
+    from atq_tpu.ops.ternary_matmul import pallas_interpret
+
     stat_bits, agg = pl.pallas_call(
         _kernel,
         out_shape=(
@@ -78,18 +80,23 @@ def _pallas_select(bits2d, rank):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
+        interpret=pallas_interpret(),
     )(bits2d, rank.reshape(1).astype(jnp.int32))
     stat = jax.lax.bitcast_convert_type(stat_bits[0], jnp.float32)
     return stat, agg[0], agg[1]
 
 
 def order_stat_eligible(n: int) -> bool:
-    from atq_tpu.ops.ternary_matmul import pallas_disabled
+    from atq_tpu.ops.ternary_matmul import (
+        pallas_disabled,
+        pallas_interpret,
+    )
 
     if pallas_disabled():  # ATQ_NO_PALLAS=1 kill-switch
         return False
     try:
-        on_tpu = jax.default_backend() == "tpu"
+        on_tpu = (jax.default_backend() == "tpu"
+                  or pallas_interpret())
     except RuntimeError:  # pragma: no cover
         return False
     return on_tpu and n * 4 <= _VMEM_BITS_BUDGET

@@ -42,6 +42,16 @@ _TILE_N = 128
 _K_ALIGN = 512  # K padded so K/4 is a whole number of 128-lane vectors
 
 
+def pallas_interpret() -> bool:
+    """``ATQ_PALLAS_INTERPRET=1``: run every Pallas kernel through the
+    interpreter on the current backend — CPU-testable kernel semantics
+    (bit-exact for the order statistic, float-rounding-level for the
+    matmuls). Read at trace time; set it before first use."""
+    import os
+
+    return os.environ.get("ATQ_PALLAS_INTERPRET", "0") == "1"
+
+
 def pallas_disabled() -> bool:
     """Global Pallas kill-switch: ``ATQ_NO_PALLAS=1`` forces every kernel
     entry point to its XLA fallback. Production escape hatch — a faulting
@@ -57,7 +67,7 @@ def _on_tpu() -> bool:
     if pallas_disabled():
         return False
     try:
-        return jax.default_backend() == "tpu"
+        return jax.default_backend() == "tpu" or pallas_interpret()
     except RuntimeError:  # pragma: no cover
         return False
 
@@ -165,6 +175,7 @@ def _pallas_matmul_rpb(x, w_packed_planar, correction, w_shape, alpha):
             + mp * np_ * 4,
             transcendentals=0,
         ),
+        interpret=pallas_interpret(),
     )(x.astype(jnp.float32), w_packed_planar,
       correction.astype(jnp.bfloat16),
       jnp.asarray(alpha, jnp.float32).reshape(1))
@@ -292,6 +303,7 @@ def _pallas_matmul_kblocked(x, w_packed_planar, w_shape, alpha,
             bytes_accessed=mp * k_padded * 4 + np_ * kq + mp * np_ * 4,
             transcendentals=0,
         ),
+        interpret=pallas_interpret(),
     )(x.astype(jnp.float32), w_packed_planar,
       jnp.asarray(alpha, jnp.float32).reshape(-1))
     return out[:m, :n]
@@ -341,6 +353,7 @@ def _pallas_matmul(x, w_packed_planar, w_shape, alpha, asym: bool = False):
             bytes_accessed=mp * k_padded * 4 + np_ * kq + mp * np_ * 4,
             transcendentals=0,
         ),
+        interpret=pallas_interpret(),
     )(x.astype(jnp.float32), w_packed_planar,
       jnp.asarray(alpha, jnp.float32).reshape(-1))
     return out[:m, :n]
@@ -409,6 +422,7 @@ def _pallas_matmul32(x, w_packed32, w_shape, alpha, asym: bool = False):
             bytes_accessed=mp * k_padded * 4 + np_ * k16 * 4 + mp * np_ * 4,
             transcendentals=0,
         ),
+        interpret=pallas_interpret(),
     )(x.astype(jnp.float32), w_packed32,
       jnp.asarray(alpha, jnp.float32).reshape(-1))
     return out[:m, :n]
