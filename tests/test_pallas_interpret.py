@@ -90,6 +90,15 @@ got = packed_ternary_matmul_rpb(jnp.asarray(x),
 np.testing.assert_allclose(np.asarray(got), x @ (w2 * 0.8 + corr).T,
                            rtol=1e-5, atol=5e-3)
 
+# --- K-blocked grid variant (third grid dim accumulates byte slabs) --
+# Trigger: tile_m * k_padded * 4 > 4MB VMEM budget -> M=128, K=8704.
+wk = random_ternary((128, 8704), 13)
+xk = rng.randn(128, 8704).astype(np.float32) * 0.1
+got = packed_ternary_matmul(jnp.asarray(xk), pack_planar(jnp.asarray(wk)),
+                            (128, 8704), alpha=0.5)
+np.testing.assert_allclose(np.asarray(got), xk @ wk.T * 0.5,
+                           rtol=1e-5, atol=5e-3)
+
 print("PALLAS_INTERPRET_OK")
 """
 
