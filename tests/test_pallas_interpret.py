@@ -6,16 +6,13 @@ routes the SAME kernel bodies through the Pallas interpreter so their
 semantics regress on every CPU test run, not just on-chip sessions.
 
 Runs in a subprocess: the interpret flag is read at trace time and the
-kernels may already be traced without it in this process.
+kernels may already be traced without it in this process. Fast-gate
+eligible (~11 s: one extra jax import, small shapes).
 """
 
 import os
 import subprocess
 import sys
-
-import pytest
-
-pytestmark = pytest.mark.slow
 
 _SCRIPT = r"""
 import os
