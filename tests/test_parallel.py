@@ -551,6 +551,12 @@ def test_classifier_train_step_fsdp_equivalence():
         new_state, metrics = step(state, shard_batch(batch, mesh),
                                   jnp.float32(0.3), jnp.float32(1e-5),
                                   jax.random.PRNGKey(1))
+        if fsdp:
+            # The memory win must persist across steps: GSPMD has to
+            # propagate the FSDP placement to the OUTPUT state (a
+            # replicated output would silently undo the sharding).
+            w_out = new_state["atq_params"]["classifier_0"]["weight"]
+            assert w_out.sharding.spec == w.sharding.spec
         outs.append((float(metrics["loss"]),
                      jax.device_get(new_state["atq_params"])))
 
