@@ -7,6 +7,11 @@ from atq_tpu.utils.metrics import (
     confusion_matrix,
 )
 from atq_tpu.utils.platform import apply_platform_env
+from atq_tpu.utils.visualization import (
+    compare_model_efficiency,
+    plot_weight_distribution,
+    visualize_ternary_weights,
+)
 
 __all__ = [
     "count_parameters",
@@ -16,4 +21,7 @@ __all__ = [
     "accuracy",
     "confusion_matrix",
     "apply_platform_env",
+    "plot_weight_distribution",
+    "visualize_ternary_weights",
+    "compare_model_efficiency",
 ]
