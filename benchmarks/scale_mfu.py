@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""MFU at production shapes: the framework without the reference's tiny dims.
+
+The config-5 profile (BENCHMARKS.md "where the other 75% goes") shows the
+*reference's* shapes — embed 192, 160px images, a high-res low-channel conv
+trunk — cap conv-internal MFU at ~46%, and the achieved 25.4% is 55% of that
+ceiling. This harness answers the question that analysis raises: what does
+the same framework sustain when the shapes are production-sized and the
+FLOPs live where the MXU wants them (large ternary-transformer matmuls)?
+
+Each config is a full quantization-aware training step — ternary RPB
+projections with per-step on-device threshold selection (the ATQ method's
+real cost, order-stat kernel included), STE gradients, AdamW — on a
+BERT-class encoder stack: token embedding + N TernaryTransformerLayer
+(atq_tpu/nn/transformer.py, the same module the retrieval text encoder
+stacks) + mean-pool + dense head, softmax CE.
+
+Run on the TPU: ``python benchmarks/scale_mfu.py [--quick] [--out f.json]``.
+Writes incrementally so a mid-run crash keeps earlier rows.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from atq_tpu.utils.platform import apply_platform_env  # noqa: E402
+
+apply_platform_env()
+
+# name: (embed, ffn, heads, layers, seq, batch, remat)
+CONFIGS = {
+    # the reference text encoder's own scale, as the anchor point
+    "ref-scale": (128, 512, 8, 4, 50, 256, False),
+    "bert-base": (768, 3072, 12, 12, 256, 64, False),
+    "bert-large": (1024, 4096, 16, 24, 256, 32, True),
+    "wide-2k": (2048, 8192, 16, 8, 128, 32, True),
+}
+VOCAB = 32000
+N_CLASSES = 1000
+
+
+def build_step(embed, ffn, heads, layers, seq, batch, remat,
+               use_amp=True, grad_mode="ste"):
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from atq_tpu.nn.transformer import TernaryTransformerLayer
+
+    dtype = jnp.bfloat16 if use_amp else None
+    layer_cls = nn.remat(TernaryTransformerLayer) if remat \
+        else TernaryTransformerLayer
+
+    class Encoder(nn.Module):
+        @nn.compact
+        def __call__(self, tokens):
+            x = nn.Embed(VOCAB, embed, dtype=dtype)(tokens)
+            for i in range(layers):
+                x = layer_cls(
+                    embed_dim=embed, num_heads=heads, dim_feedforward=ffn,
+                    dropout=0.0, use_rpb=True, sparsity_target=0.3,
+                    layer_idx=i, grad_mode=grad_mode, dtype=dtype,
+                    name=f"layer_{i}",
+                )(x, deterministic=True)
+            x = nn.LayerNorm()(x.astype(jnp.float32))
+            return nn.Dense(N_CLASSES)(jnp.mean(x, axis=1))
+
+    model = Encoder()
+    rng = np.random.RandomState(0)
+    tokens = jnp.asarray(rng.randint(0, VOCAB, (batch, seq)), jnp.int32)
+    labels = jnp.asarray(rng.randint(0, N_CLASSES, (batch,)), jnp.int32)
+    v = model.init(jax.random.PRNGKey(0), tokens)
+    params, quant = v["params"], v.get("quant", {})
+    tx = optax.adamw(1e-4)
+
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))
+
+    def loss_fn(p):
+        logits = model.apply({"params": p, "quant": quant}, tokens)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels).mean()
+
+    @jax.jit
+    def step(state):
+        p, opt_state = state
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return (optax.apply_updates(p, updates), opt_state), loss
+
+    state = (params, tx.init(params))
+
+    def step_fn(state, *args):
+        return step(state)
+
+    return step, step_fn, state, n_params
+
+
+def measure(name, spec, use_amp=True, iters=8):
+    import jax
+
+    from atq_tpu.utils.flops import compiled_flops, mfu
+    from atq_tpu.utils.timing import steady_state_sec_per_step
+
+    embed, ffn, heads, layers, seq, batch, remat = spec
+    step, step_fn, state, n_params = build_step(
+        embed, ffn, heads, layers, seq, batch, remat, use_amp=use_amp)
+    dt, state = steady_state_sec_per_step(step_fn, state, (), warmup=2,
+                                          iters=iters)
+    abstract = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), state)
+    flops = compiled_flops(step, abstract)
+    util = mfu(flops, dt)
+    tokens_per_step = batch * seq
+    row = {
+        "config": name, "embed": embed, "ffn": ffn, "heads": heads,
+        "layers": layers, "seq": seq, "batch": batch, "remat": remat,
+        "use_amp": use_amp, "params_millions": n_params / 1e6,
+        "ms_per_step": dt * 1000,
+        "tokens_per_sec": tokens_per_step / dt,
+        "flops_per_step": flops,
+        "mfu_pct": None if util is None else util * 100.0,
+    }
+    del state
+    return row
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", default="benchmarks/scale_mfu.json")
+    parser.add_argument("--quick", action="store_true",
+                        help="ref-scale + bert-base only")
+    parser.add_argument("--configs", nargs="*", default=None,
+                        help="subset of config names to run")
+    parser.add_argument("--fp32", action="store_true",
+                        help="also measure fp32 rows")
+    args = parser.parse_args()
+
+    names = args.configs or (["ref-scale", "bert-base"] if args.quick
+                             else list(CONFIGS))
+    rows = []
+
+    def flush():
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=2)
+
+    for name in names:
+        for use_amp in ((True, False) if args.fp32 else (True,)):
+            print(f"--- {name} amp={use_amp} ---", flush=True)
+            try:
+                row = measure(name, CONFIGS[name], use_amp=use_amp)
+            except Exception as e:
+                row = {"config": name, "use_amp": use_amp, "error": str(e)}
+            print(row, flush=True)
+            rows.append(row)
+            flush()
+    print(json.dumps(rows, indent=2))
+
+
+if __name__ == "__main__":
+    main()
