@@ -121,6 +121,16 @@ class ResNetFeatures(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.has_variable("int8", "trunk"):
+            # Serving path: the whole trunk runs from int8 weights with
+            # BN folded (serve/int8_trunk.py export_int8_collection) —
+            # same detection pattern as the quantized layers' 'packed'
+            # collection.
+            from atq_tpu.serve.int8_trunk import int8_resnet_apply
+
+            return int8_resnet_apply(
+                self.get_variable("int8", "trunk"), x, self.stage_sizes,
+                bottleneck=self.block is Bottleneck)
         x = StemConv(self.width, dtype=self.dtype, name="conv1")(x)
         x = _BN(use_running_average=not train, name="bn1")(x)
         x = nn.relu(x)

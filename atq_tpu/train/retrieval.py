@@ -565,9 +565,11 @@ def build_baseline_train_step(baseline_model, baseline_tx, criterion):
     return step
 
 
-def build_embed_fn(model, packed=None):
+def build_embed_fn(model, packed=None, int8=None):
     """``packed`` (exported 2-bit serving collection) is closed over — its
-    entries carry static shape metadata that must not be traced."""
+    entries carry static shape metadata that must not be traced. ``int8``
+    is the exported int8-trunk collection (serve/int8_trunk.py): the
+    ResNet backbone serves from int8 weights with BN folded."""
     def embed(state, batch, use_ema: bool = False):
         images, captions, lengths = batch
         if images.dtype == jnp.uint8:
@@ -581,6 +583,8 @@ def build_embed_fn(model, packed=None):
                      "batch_stats": state["batch_stats"]}
         if packed:
             variables["packed"] = packed
+        if int8:
+            variables["int8"] = int8
         return model.apply(
             variables,
             images, captions, lengths, return_embeddings=True, train=False,

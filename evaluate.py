@@ -57,6 +57,11 @@ def build_parser():
                         help="serve every quantized layer from exported "
                              "2-bit planes + sparse correction instead of "
                              "dense weights (deployment-form eval)")
+    parser.add_argument("--int8_trunk", action="store_true",
+                        help="(retrieval) serve the FP ResNet backbone "
+                             "from per-channel int8 weights with BatchNorm "
+                             "folded (serve/int8_trunk.py); composes with "
+                             "--packed for a fully quantized image tower")
     parser.add_argument("--output", type=str, default=None,
                         help="Optional JSON file for the metrics")
     parser.add_argument("--save_index", type=str, default=None,
@@ -195,7 +200,13 @@ def main(argv=None):
 
             packed = export_packed_collection(ckpt["params"],
                                               ckpt.get("quant"))
-        embed_fn = jax.jit(build_embed_fn(model, packed=packed),
+        int8 = None
+        if args.int8_trunk:
+            from atq_tpu.serve.int8_trunk import export_int8_collection
+
+            int8 = export_int8_collection(ckpt["params"],
+                                          ckpt.get("batch_stats", {}))
+        embed_fn = jax.jit(build_embed_fn(model, packed=packed, int8=int8),
                            static_argnames=("use_ema",))
         metrics = evaluate_model(embed_fn, state, loader)
         for k, v in metrics.items():

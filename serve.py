@@ -64,6 +64,11 @@ def build_parser():
     p.add_argument("--packed", action="store_true",
                    help="serve from exported 2-bit planes with the dense "
                         "forward as the engine fallback")
+    p.add_argument("--int8_trunk", action="store_true",
+                   help="(retrieval) serve the ResNet backbone from "
+                        "per-channel int8 weights with BatchNorm folded; "
+                        "composes with --packed (fully quantized image "
+                        "tower), dense forward stays the fallback")
     p.add_argument("--vocab_file", type=str, default=None,
                    help="vocab.json (retrieval); defaults to the one "
                         "next to the checkpoint")
@@ -159,17 +164,23 @@ def build_retrieval_routes(args, ckpt, grad_mode):
 
     img_fwd, txt_fwd = encoders(dense_vars)
     img_fallback = txt_fallback = None
-    if args.packed:
-        from atq_tpu.serve.packed_model import export_packed_collection
+    if args.packed or args.int8_trunk:
+        quant_vars = dict(dense_vars)
+        if args.packed:
+            from atq_tpu.serve.packed_model import export_packed_collection
 
-        packed_vars = {**dense_vars,
-                       "packed": export_packed_collection(
-                           ckpt["params"], ckpt.get("quant"))}
+            quant_vars["packed"] = export_packed_collection(
+                ckpt["params"], ckpt.get("quant"))
+        if args.int8_trunk:
+            from atq_tpu.serve.int8_trunk import export_int8_collection
+
+            quant_vars["int8"] = export_int8_collection(
+                ckpt["params"], ckpt.get("batch_stats", {}))
         # Dense forward becomes the fallback (module docstring contract):
-        # a packed-program crash re-serves the batch dense, and a
-        # repeatedly-crashing packed program is latched off.
+        # a quantized-program crash re-serves the batch dense, and a
+        # repeatedly-crashing primary is latched off.
         img_fallback, txt_fallback = img_fwd, txt_fwd
-        img_fwd, txt_fwd = encoders(packed_vars)
+        img_fwd, txt_fwd = encoders(quant_vars)
     img_server = BatchServer(img_fwd, max_batch=args.max_batch,
                              max_wait_ms=args.max_wait_ms,
                              fallback_fn=img_fallback).start()
