@@ -27,15 +27,30 @@ apply_platform_env()
 
 
 def measure(index, queries, k, iters=30):
+    """(api_sec, device_sec): end-to-end ``search()`` latency — which
+    includes the mandatory device_get of ids/scores and therefore a full
+    dispatch→fetch roundtrip per call (~27 ms over the axon tunnel,
+    BENCHMARKS.md methodology) — and the slope-timed device program
+    alone, the number that survives on a non-tunneled TPU."""
     import jax
+    import jax.numpy as jnp
+
+    from atq_tpu.utils.timing import sec_per_call
 
     index.search(queries, k=k)  # compile + commit
     t0 = time.time()
     for _ in range(iters):
         ids, scores = index.search(queries, k=k)
-    dt = (time.time() - t0) / iters
+    api = (time.time() - t0) / iters
     del ids, scores
-    return dt
+    # Device work alone: call the cached jitted program on the resident
+    # corpus with device-committed args (one sync per timing window).
+    fn = index._search_fn(index._capacity, max(1, min(k, len(index))))
+    corpus = index._device_corpus
+    qd = jax.device_put(jnp.asarray(queries, jnp.float32))
+    nd = jax.device_put(jnp.int32(len(index)))
+    device = sec_per_call(fn, corpus, qd, nd, warmup=2, iters=iters)
+    return api, device
 
 
 def main():
@@ -67,11 +82,13 @@ def main():
         for qb in args.query_batches:
             q = rng.randn(qb, args.dim).astype(np.float32)
             q /= np.linalg.norm(q, axis=1, keepdims=True)
-            dt = measure(index, q, args.k)
+            api, device = measure(index, q, args.k)
             row = {"corpus": corpus_n, "query_batch": qb,
                    "quantize": index.quantize,
-                   "ms_per_call": dt * 1000,
-                   "queries_per_sec": qb / dt}
+                   "api_ms_per_call": api * 1000,
+                   "device_ms_per_call": device * 1000,
+                   "queries_per_sec_api": qb / api,
+                   "queries_per_sec_device": qb / device}
             print(row, flush=True)
             rows.append(row)
         del index, corpus
