@@ -32,16 +32,30 @@ _VMEM_BITS_BUDGET = 12 * 1024 * 1024
 # Bit pattern strictly above +inf: padding sentinel that never counts as
 # <= any finite search midpoint.
 _PAD_BITS = 0x7F800001
+# Rows per strip-mined chunk inside the kernel. Elementwise temps
+# (compare masks, bitcast floats) materialize per CHUNK, not per matrix,
+# keeping the kernel's scoped-VMEM stack ~ bits + 256 KB: without this a
+# 768x3072 weight's count pass allocated 2x the bit matrix and blew the
+# 16 MB scoped-vmem limit inside large programs (observed compiling the
+# bert-base config of benchmarks/scale_mfu.py).
+_ROW_CHUNK = 512
 
 
 def _kernel(bits_ref, rank_ref, stat_ref, agg_ref):
     target = rank_ref[0] + 1
-    bits = bits_ref[:]
+    n_chunks = bits_ref.shape[0] // _ROW_CHUNK  # caller pads rows
+
+    def count_le(mid):
+        def chunk(i, acc):
+            blk = bits_ref[pl.ds(i * _ROW_CHUNK, _ROW_CHUNK), :]
+            return acc + jnp.sum((blk <= mid).astype(jnp.int32))
+
+        return jax.lax.fori_loop(0, n_chunks, chunk, jnp.int32(0))
 
     def body(_, lohi):
         lo, hi = lohi
         mid = lo + (hi - lo) // jnp.uint32(2)
-        ge = jnp.sum((bits <= mid).astype(jnp.int32)) >= target
+        ge = count_le(mid) >= target
         return (jnp.where(ge, lo, mid + jnp.uint32(1)),
                 jnp.where(ge, mid, hi))
 
@@ -53,11 +67,18 @@ def _kernel(bits_ref, rank_ref, stat_ref, agg_ref):
     stat_ref[0] = hi.astype(jnp.int32)
 
     # Padding sentinels sit above +inf; mask them out of max and sum.
-    finite = bits <= jnp.uint32(0x7F800000)
-    vals = jnp.where(finite, jax.lax.bitcast_convert_type(bits, jnp.float32),
-                     0.0)
-    agg_ref[0] = jnp.max(vals)
-    agg_ref[1] = jnp.sum(vals)
+    def agg_chunk(i, carry):
+        m, s = carry
+        blk = bits_ref[pl.ds(i * _ROW_CHUNK, _ROW_CHUNK), :]
+        finite = blk <= jnp.uint32(0x7F800000)
+        vals = jnp.where(
+            finite, jax.lax.bitcast_convert_type(blk, jnp.float32), 0.0)
+        return jnp.maximum(m, jnp.max(vals)), s + jnp.sum(vals)
+
+    mx, sm = jax.lax.fori_loop(0, n_chunks, agg_chunk,
+                               (jnp.float32(0), jnp.float32(0)))
+    agg_ref[0] = mx
+    agg_ref[1] = sm
 
 
 @jax.jit
@@ -109,6 +130,10 @@ def order_statistic_reductions(abs_flat: jax.Array, rank: jax.Array):
     bits = jax.lax.bitcast_convert_type(abs_flat, jnp.uint32)
     cols = 128
     rows = -(-n // cols)
+    # Pad rows to a multiple of the kernel's strip-mine chunk so the
+    # in-kernel fori_loops cover the matrix exactly; sentinel rows never
+    # count (they sit above +inf) and are masked from max/sum.
+    rows = -(-rows // _ROW_CHUNK) * _ROW_CHUNK
     pad = rows * cols - n
     if pad:
         bits = jnp.concatenate(
