@@ -32,19 +32,46 @@ from atq_tpu.utils.platform import apply_platform_env  # noqa: E402
 
 apply_platform_env()
 
-# name: (embed, ffn, heads, layers, seq, batch, remat)
+# name: (embed, ffn, heads, layers, seq, batch, remat, scan)
+# scan=True stacks the layers with nn.scan: the compiled program is
+# depth-independent (required past ~8 layers on the tunneled runtime,
+# whose remote-compile endpoint caps the request body), and it is the
+# right way to build deep ternary stacks under XLA anyway. The tiny
+# ref-scale anchor stays unrolled — at 4 × 5M-param layers the scan's
+# stacked-weight indexing costs more than it saves.
 CONFIGS = {
     # the reference text encoder's own scale, as the anchor point
-    "ref-scale": (128, 512, 8, 4, 50, 256, False),
-    "bert-base": (768, 3072, 12, 12, 256, 64, False),
-    "bert-large": (1024, 4096, 16, 24, 256, 32, True),
-    "wide-2k": (2048, 8192, 16, 8, 128, 32, True),
+    "ref-scale": (128, 512, 8, 4, 50, 256, False, False),
+    # scanned stacks remat by necessity: without it XLA materializes the
+    # full (layers, B, S, ffn) stacked activation buffers in f32 — 19.8 GB
+    # for bert-base, past the v5e's 15.75 GB HBM.
+    "bert-base": (768, 3072, 12, 12, 256, 64, True, True),
+    "bert-large": (1024, 4096, 16, 24, 256, 32, True, True),
+    "wide-2k": (2048, 8192, 16, 8, 128, 32, True, True),
 }
 VOCAB = 32000
 N_CLASSES = 1000
 
 
-def build_step(embed, ffn, heads, layers, seq, batch, remat,
+def analytic_step_flops(embed, ffn, heads, layers, seq, batch):
+    """Matmul FLOPs for one training step (fwd + bwd = 3 x forward).
+
+    XLA's ``cost_analysis()`` counts a ``lax.scan`` body ONCE, not
+    x length, so the compiled count under-reports a scanned stack by
+    the layer count. MFU's definition wants the model's required FLOPs
+    anyway (remat recompute excluded), so this harness counts them
+    analytically: per layer 4 E^2 (qkv+out) and 2 E F (FFN) matmuls
+    over B*S tokens plus the 2 B S^2 E attention pair, then the head.
+    Elementwise/optimizer work is excluded — the number is conservative.
+    """
+    tokens = batch * seq
+    per_layer = (2 * tokens * (4 * embed * embed + 2 * embed * ffn)
+                 + 4 * batch * seq * seq * embed)
+    fwd = layers * per_layer + 2 * batch * embed * N_CLASSES
+    return 3.0 * fwd
+
+
+def build_step(embed, ffn, heads, layers, seq, batch, remat, scan,
                use_amp=True, grad_mode="ste"):
     import flax.linen as nn
     import jax
@@ -54,20 +81,47 @@ def build_step(embed, ffn, heads, layers, seq, batch, remat,
     from atq_tpu.nn.transformer import TernaryTransformerLayer
 
     dtype = jnp.bfloat16 if use_amp else None
-    layer_cls = nn.remat(TernaryTransformerLayer) if remat \
-        else TernaryTransformerLayer
+
+    def make_layer(idx, name):
+        return TernaryTransformerLayer(
+            embed_dim=embed, num_heads=heads, dim_feedforward=ffn,
+            dropout=0.0, use_rpb=True, sparsity_target=0.3,
+            layer_idx=idx, grad_mode=grad_mode, dtype=dtype, name=name)
+
+    class Body(nn.Module):
+        """scan body: (carry, _) -> (carry, None). One traced layer."""
+
+        @nn.compact
+        def __call__(self, carry, _):
+            y = make_layer(0, "layer")(carry, deterministic=True)
+            # The layer norms in f32 and returns f32; the scan carry must
+            # keep a fixed type, so cast back to the compute dtype.
+            return y.astype(carry.dtype), None
+
+    body = nn.remat(Body) if remat else Body
 
     class Encoder(nn.Module):
         @nn.compact
         def __call__(self, tokens):
             x = nn.Embed(VOCAB, embed, dtype=dtype)(tokens)
-            for i in range(layers):
-                x = layer_cls(
-                    embed_dim=embed, num_heads=heads, dim_feedforward=ffn,
-                    dropout=0.0, use_rpb=True, sparsity_target=0.3,
-                    layer_idx=i, grad_mode=grad_mode, dtype=dtype,
-                    name=f"layer_{i}",
-                )(x, deterministic=True)
+            if scan:
+                stack = nn.scan(body,
+                                variable_axes={"params": 0, "quant": 0},
+                                split_rngs={"params": True,
+                                            "dropout": True},
+                                length=layers)
+                x, _ = stack(name="layers")(x, None)
+            else:
+                layer_cls = nn.remat(TernaryTransformerLayer) if remat \
+                    else TernaryTransformerLayer
+                for i in range(layers):
+                    x = layer_cls(
+                        embed_dim=embed, num_heads=heads,
+                        dim_feedforward=ffn, dropout=0.0, use_rpb=True,
+                        sparsity_target=0.3, layer_idx=i,
+                        grad_mode=grad_mode, dtype=dtype,
+                        name=f"layer_{i}",
+                    )(x, deterministic=True)
             x = nn.LayerNorm()(x.astype(jnp.float32))
             return nn.Dense(N_CLASSES)(jnp.mean(x, axis=1))
 
@@ -82,19 +136,23 @@ def build_step(embed, ffn, heads, layers, seq, batch, remat,
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree_util.tree_leaves(params))
 
-    def loss_fn(p):
-        logits = model.apply({"params": p, "quant": quant}, tokens)
+    def loss_fn(p, q):
+        logits = model.apply({"params": p, "quant": q}, tokens)
         return optax.softmax_cross_entropy_with_integer_labels(
             logits, labels).mean()
 
+    # quant (the fixed RPB precision masks) must be a real argument:
+    # closed-over arrays are baked into the program as dense literals,
+    # which at bert-base scale is ~680 MB of HLO text — far past any
+    # compile-request limit and wasteful at every scale.
     @jax.jit
     def step(state):
-        p, opt_state = state
-        loss, grads = jax.value_and_grad(loss_fn)(p)
+        (p, opt_state), q = state
+        loss, grads = jax.value_and_grad(loss_fn)(p, q)
         updates, opt_state = tx.update(grads, opt_state, p)
-        return (optax.apply_updates(p, updates), opt_state), loss
+        return ((optax.apply_updates(p, updates), opt_state), q), loss
 
-    state = (params, tx.init(params))
+    state = ((params, tx.init(params)), quant)
 
     def step_fn(state, *args):
         return step(state)
@@ -108,23 +166,27 @@ def measure(name, spec, use_amp=True, iters=8):
     from atq_tpu.utils.flops import compiled_flops, mfu
     from atq_tpu.utils.timing import steady_state_sec_per_step
 
-    embed, ffn, heads, layers, seq, batch, remat = spec
+    embed, ffn, heads, layers, seq, batch, remat, scan = spec
     step, step_fn, state, n_params = build_step(
-        embed, ffn, heads, layers, seq, batch, remat, use_amp=use_amp)
+        embed, ffn, heads, layers, seq, batch, remat, scan,
+        use_amp=use_amp)
     dt, state = steady_state_sec_per_step(step_fn, state, (), warmup=2,
                                           iters=iters)
     abstract = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), state)
-    flops = compiled_flops(step, abstract)
+    flops = analytic_step_flops(embed, ffn, heads, layers, seq, batch)
+    flops_xla = compiled_flops(step, abstract)
     util = mfu(flops, dt)
     tokens_per_step = batch * seq
     row = {
         "config": name, "embed": embed, "ffn": ffn, "heads": heads,
         "layers": layers, "seq": seq, "batch": batch, "remat": remat,
-        "use_amp": use_amp, "params_millions": n_params / 1e6,
+        "scan": scan, "use_amp": use_amp,
+        "params_millions": n_params / 1e6,
         "ms_per_step": dt * 1000,
         "tokens_per_sec": tokens_per_step / dt,
         "flops_per_step": flops,
+        "flops_per_step_xla": flops_xla,
         "mfu_pct": None if util is None else util * 100.0,
     }
     del state

@@ -10,7 +10,7 @@ sys.path.insert(0, "/root/repo/benchmarks")
 def test_scale_mfu_tiny_config_runs():
     import scale_mfu
 
-    row = scale_mfu.measure("tiny", (32, 64, 4, 2, 16, 4, True),
+    row = scale_mfu.measure("tiny", (32, 64, 4, 2, 16, 4, True, True),
                             use_amp=True, iters=2)
     assert row["params_millions"] > 0.5  # embed table dominates
     assert row["ms_per_step"] > 0
@@ -21,6 +21,6 @@ def test_scale_mfu_tiny_config_runs():
 def test_scale_mfu_fp32_no_remat_runs():
     import scale_mfu
 
-    row = scale_mfu.measure("tiny", (32, 64, 4, 1, 16, 4, False),
+    row = scale_mfu.measure("tiny", (32, 64, 4, 1, 16, 4, False, False),
                             use_amp=False, iters=2)
     assert row["ms_per_step"] > 0
