@@ -39,6 +39,12 @@ import jax.numpy as jnp
 # sort, which costs milliseconds at multi-million-element widths on TPU).
 _SELECT_MIN_SIZE = 16384
 
+# jax.ad_checkpoint.checkpoint_name tag on the quantizer threshold: the
+# one data-dependent scalar whose recomputation in a remat backward pass
+# costs a full order-statistic kernel run per layer. Remat policies save
+# it via nn.layers.quantized_weight_policy().
+THRESHOLD_NAME = "atq_ternary_threshold"
+
 
 def _order_statistic_f32(flat_nonneg: jax.Array, rank: jax.Array):
     """Exact ``sorted(flat)[rank]`` for non-negative float32 without sorting.
@@ -113,9 +119,16 @@ def ternary_threshold(
         mean_w = jnp.mean(abs_w)
     thr_all_zero = max_w + jnp.asarray(1.0, dtype)
     thr_fallback = jnp.asarray(threshold_factor, dtype) * mean_w
-    return jnp.where(
+    thr = jnp.where(
         idx >= n, thr_all_zero, jnp.where(idx > 0, thr_at_idx, thr_fallback)
     )
+    # Remat tag: under a jax.checkpoint policy that saves this name
+    # (nn.layers.quantized_weight_policy), the backward pass reuses the
+    # scalar instead of re-running the order-statistic kernel — the only
+    # expensive stage of the quantizer. Identity outside checkpoint.
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(thr, THRESHOLD_NAME)
 
 
 def adaptive_ternary_quantization(

@@ -38,7 +38,10 @@ import numpy as np
 
 from atq_tpu.nn.attention import _norm, _proj, lengths_to_padding_mask
 from atq_tpu.nn.initializers import normal_std
-from atq_tpu.nn.transformer import TernaryTransformerLayer
+from atq_tpu.nn.transformer import (
+    ScannedTernaryStack,
+    TernaryTransformerLayer,
+)
 
 
 def sinusoidal_positional_encoding(max_len: int, d_model: int) -> np.ndarray:
@@ -68,6 +71,14 @@ class ATQTextEncoder(nn.Module):
     dtype: Optional[jnp.dtype] = None  # matmul compute dtype (AMP)
     moe_experts: int = 0  # >0: MoE FFN in every transformer layer
     # (ternary experts, EP-shardable — nn/transformer.py)
+    # Framework extension (off the parity path): build the layer stack
+    # with nn.scan — depth-independent compiled program, required for
+    # deep production stacks (see nn.transformer.ScannedTernaryStack;
+    # params live under layers/scan/layer with a leading L axis, and
+    # stack_layer_params converts unrolled checkpoints). remat_layers
+    # applies only to the scanned stack.
+    scan_layers: bool = False
+    remat_layers: bool = True
 
     @nn.compact
     def __call__(self, x, src_key_padding_mask=None,
@@ -96,16 +107,34 @@ class ATQTextEncoder(nn.Module):
             h, deterministic=deterministic
         )
 
-        for i in range(self.num_layers):
-            h = TernaryTransformerLayer(
-                embed_dim=self.embed_dim, num_heads=self.num_heads,
-                dim_feedforward=self.dim_feedforward, dropout=self.dropout,
-                dtype=self.dtype,
-                use_rpb=self.use_rpb, sparsity_target=initial_sparsity,
-                layer_idx=i, grad_mode=self.grad_mode,
-                moe_experts=self.moe_experts, name=f"layers_{i}",
+        if self.scan_layers:
+            if self.moe_experts > 0:
+                raise ValueError(
+                    "scan_layers does not support moe_experts > 0 — the "
+                    "per-layer aux-loss sow needs the unrolled stack")
+            h = ScannedTernaryStack(
+                num_layers=self.num_layers, embed_dim=self.embed_dim,
+                num_heads=self.num_heads,
+                dim_feedforward=self.dim_feedforward,
+                dropout=self.dropout, use_rpb=self.use_rpb,
+                sparsity_target=initial_sparsity,
+                grad_mode=self.grad_mode, dtype=self.dtype,
+                remat=self.remat_layers, name="layers",
             )(h, src_key_padding_mask=src_key_padding_mask,
               deterministic=deterministic)
+            h = h.astype(jnp.float32)
+        else:
+            for i in range(self.num_layers):
+                h = TernaryTransformerLayer(
+                    embed_dim=self.embed_dim, num_heads=self.num_heads,
+                    dim_feedforward=self.dim_feedforward,
+                    dropout=self.dropout, dtype=self.dtype,
+                    use_rpb=self.use_rpb,
+                    sparsity_target=initial_sparsity,
+                    layer_idx=i, grad_mode=self.grad_mode,
+                    moe_experts=self.moe_experts, name=f"layers_{i}",
+                )(h, src_key_padding_mask=src_key_padding_mask,
+                  deterministic=deterministic)
 
         h = _norm(name="norm")(h)
 

@@ -46,6 +46,36 @@ from atq_tpu.nn.initializers import bias_uniform_torch, kaiming_uniform_torch
 
 DEFAULT_SPARSITY = 0.3
 
+# Rematerialization tag for the dequantized effective weight. Profiling
+# the bert-class scanned stack showed the quantize -> mask-blend -> cast
+# pipeline re-running for every matmul *use* of a weight (forward, remat
+# forward, grad-wrt-input), which put each big matmul at ~1.04 ms vs
+# 0.614 ms for the same-shape pure bf16 matmul on the same chip. Layers
+# tag the finished effective weight with this name so a remat policy
+# (jax.checkpoint_policies.save_only_these_names(QUANTIZED_WEIGHT_NAME))
+# saves the small bf16 weight copy instead of re-deriving it — see
+# nn.transformer.ScannedTernaryStack.
+QUANTIZED_WEIGHT_NAME = "atq_quantized_weight"
+
+
+def _tag_weight(w: jax.Array) -> jax.Array:
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(w, QUANTIZED_WEIGHT_NAME)
+
+
+def quantized_weight_policy():
+    """Remat policy for ``jax.checkpoint``/``nn.remat``: recompute
+    activations, but keep the tagged dequantized weights AND the
+    quantizer threshold scalars (saving the weight alone does not help:
+    the mask-blend backward still depends on the ternary pattern, so
+    remat would re-run the order-statistic kernel to rebuild it — the
+    saved threshold makes that rebuild a cheap elementwise ``where``)."""
+    from atq_tpu.core.quantize import THRESHOLD_NAME
+
+    return jax.checkpoint_policies.save_only_these_names(
+        QUANTIZED_WEIGHT_NAME, THRESHOLD_NAME)
+
 
 def _use_fused(fused: Optional[bool], dtype) -> bool:
     """Resolve the layer's fused-matmul flag (ops/fused_linear.py).
@@ -194,7 +224,7 @@ class TernaryLinear(nn.Module):
             if self.dtype is not None:
                 x = x.astype(self.dtype)
                 w_eff = w_eff.astype(self.dtype)
-            y = jnp.matmul(x, w_eff.T)
+            y = jnp.matmul(x, _tag_weight(w_eff).T)
         elif _use_fused(self.fused, self.dtype):
             from atq_tpu.ops.fused_linear import fused_quantized_linear
 
@@ -208,7 +238,7 @@ class TernaryLinear(nn.Module):
             if self.dtype is not None:
                 x = x.astype(self.dtype)
                 w_eff = w_eff.astype(self.dtype)
-            y = jnp.matmul(x, w_eff.T)
+            y = jnp.matmul(x, _tag_weight(w_eff).T)
         if self.use_bias:
             bias = self.param("bias", bias_uniform_torch(in_features),
                               (self.features,), self.param_dtype)
@@ -285,7 +315,7 @@ class ResidualPrecisionBoostLinear(nn.Module):
             if self.dtype is not None:
                 x = x.astype(self.dtype)
                 w_mixed = w_mixed.astype(self.dtype)
-            y = jnp.matmul(x, w_mixed.T)
+            y = jnp.matmul(x, _tag_weight(w_mixed).T)
         elif _use_fused(self.fused, self.dtype):
             from atq_tpu.ops.fused_linear import fused_quantized_linear
 
@@ -301,7 +331,7 @@ class ResidualPrecisionBoostLinear(nn.Module):
             if self.dtype is not None:
                 x = x.astype(self.dtype)
                 w_mixed = w_mixed.astype(self.dtype)
-            y = jnp.matmul(x, w_mixed.T)
+            y = jnp.matmul(x, _tag_weight(w_mixed).T)
         if self.use_bias:
             bias = self.param("bias", bias_uniform_torch(in_features),
                               (self.features,), self.param_dtype)

@@ -121,3 +121,137 @@ class TernaryTransformerLayer(nn.Module):
                          token_mask=token_mask)
         self.sow("intermediates", "moe_aux_loss", aux["aux_loss"])
         return y.reshape(b, l, d)
+
+
+class ScannedTernaryStack(nn.Module):
+    """N TernaryTransformerLayers stacked with ``nn.scan``.
+
+    The production way to build DEEP ternary encoders under XLA: one
+    traced layer, weights stacked on a leading layer axis, so the
+    compiled program is depth-independent (an unrolled 12-layer
+    bert-base program is ~15x the HLO of the scanned one and can
+    exceed compile-request limits on remote-compile runtimes) and
+    compile time stops growing with depth. ``remat`` (default True)
+    rematerializes each layer in the backward pass — without it XLA
+    materializes the stacked (L, B, S, ffn) activation buffers, which
+    at bert-base scale is 19.8 GB, past a v5e's HBM.
+
+    Semantics match the unrolled loop exactly at fp32 (the reference
+    layer treats every index as critical — text_encoder.py:182 — so
+    ``layer_idx`` does not change the math). Under AMP the carry is
+    kept in the compute dtype between layers, where the unrolled loop
+    re-enters each layer in f32; both are tested equivalent to bf16
+    tolerance. Parameters live under ``<name>/layer`` with a leading
+    ``num_layers`` axis; :func:`stack_layer_params` /
+    :func:`unstack_layer_params` convert to/from the unrolled
+    ``layers_{i}`` layout (checkpoints on the reference-parity path
+    always use the unrolled layout).
+
+    MoE FFNs (``moe_experts > 0``) are not supported under scan: the
+    load-balance aux loss is sown per layer into ``intermediates``,
+    which scan would need to accumulate differently; use the unrolled
+    stack for MoE.
+    """
+
+    num_layers: int
+    embed_dim: int
+    num_heads: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    use_rpb: bool = True
+    sparsity_target: float = 0.3
+    grad_mode: str = "parity"
+    dtype: Optional[jnp.dtype] = None
+    remat: bool = True
+    # 'save_quantized' (default): remat everything EXCEPT the finished
+    # dequantized weights (nn.layers tags them QUANTIZED_WEIGHT_NAME) —
+    # the backward pass then reuses the small bf16 weight copies instead
+    # of re-running quantize -> mask-blend -> cast per matmul use, which
+    # profiling showed costs ~40% of each big matmul's time. 'full':
+    # plain remat, recompute everything (minimum memory).
+    remat_policy: str = "save_quantized"
+
+    @nn.compact
+    def __call__(self, h, src_mask=None, src_key_padding_mask=None,
+                 deterministic: bool = True):
+        outer = self
+
+        class Body(nn.Module):
+            @nn.compact
+            def __call__(self, carry, _):
+                y = TernaryTransformerLayer(
+                    embed_dim=outer.embed_dim,
+                    num_heads=outer.num_heads,
+                    dim_feedforward=outer.dim_feedforward,
+                    dropout=outer.dropout, use_rpb=outer.use_rpb,
+                    sparsity_target=outer.sparsity_target,
+                    layer_idx=0, grad_mode=outer.grad_mode,
+                    dtype=outer.dtype, name="layer",
+                )(carry, src_mask=src_mask,
+                  src_key_padding_mask=src_key_padding_mask,
+                  deterministic=deterministic)
+                # The layer norms in f32 and returns f32; a scan carry
+                # must keep one type, so stay in the compute dtype.
+                return y.astype(carry.dtype), None
+
+        if self.remat:
+            if self.remat_policy == "save_quantized":
+                from atq_tpu.nn.layers import quantized_weight_policy
+
+                body = nn.remat(Body, policy=quantized_weight_policy())
+            else:
+                body = nn.remat(Body)
+        else:
+            body = Body
+        stack = nn.scan(
+            body,
+            variable_axes={"params": 0, "quant": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.num_layers,
+        )
+        if self.dtype is not None:
+            h = h.astype(self.dtype)
+        h, _ = stack(name="scan")(h, None)
+        return h
+
+
+def stack_layer_params(tree: dict, num_layers: int,
+                       prefix: str = "layers_",
+                       dest: str = "layers") -> dict:
+    """Convert unrolled ``layers_{i}`` subtrees to the scanned layout.
+
+    Takes one collection's tree (params or quant) containing
+    ``layers_0 .. layers_{L-1}`` subtrees, stacks every leaf along a
+    new leading axis, and returns the tree with those subtrees
+    replaced by ``{dest: {"scan": {"layer": stacked}}}`` — the
+    structure :class:`ScannedTernaryStack` (module name ``dest``)
+    creates at init. Leaves must agree in shape across layers.
+    """
+    import jax
+
+    keys = [f"{prefix}{i}" for i in range(num_layers)]
+    missing = [k for k in keys if k not in tree]
+    if missing:
+        raise ValueError(f"unrolled layer subtrees missing: {missing}")
+    stacked = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves, axis=0),
+        *[tree[k] for k in keys])
+    out = {k: v for k, v in tree.items() if k not in keys}
+    out[dest] = {"scan": {"layer": stacked}}
+    return out
+
+
+def unstack_layer_params(tree: dict, num_layers: int,
+                         prefix: str = "layers_",
+                         dest: str = "layers") -> dict:
+    """Inverse of :func:`stack_layer_params` (for export/interop)."""
+    import jax
+
+    if dest not in tree or "scan" not in tree[dest]:
+        raise ValueError(f"no scanned subtree '{dest}/scan' in tree")
+    stacked = tree[dest]["scan"]["layer"]
+    out = {k: v for k, v in tree.items() if k != dest}
+    for i in range(num_layers):
+        out[f"{prefix}{i}"] = jax.tree_util.tree_map(
+            lambda leaf, i=i: leaf[i], stacked)
+    return out

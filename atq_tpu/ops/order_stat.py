@@ -46,11 +46,21 @@ def _kernel(bits_ref, rank_ref, stat_ref, agg_ref):
     n_chunks = bits_ref.shape[0] // _ROW_CHUNK  # caller pads rows
 
     def count_le(mid):
+        # Lane-vector accumulator: each chunk contributes a (1, 128)
+        # partial count (a cheap sublane reduce); the expensive
+        # cross-lane scalar reduction happens ONCE per bisection round.
+        # The original per-chunk scalar accumulation cost ~36 scalar
+        # reductions x 31 rounds per call and dominated the kernel
+        # (measured 259 us for a 768x3072 weight; VPU math alone is
+        # ~20 us).
         def chunk(i, acc):
             blk = bits_ref[pl.ds(i * _ROW_CHUNK, _ROW_CHUNK), :]
-            return acc + jnp.sum((blk <= mid).astype(jnp.int32))
+            return acc + jnp.sum((blk <= mid).astype(jnp.int32),
+                                 axis=0, keepdims=True)
 
-        return jax.lax.fori_loop(0, n_chunks, chunk, jnp.int32(0))
+        vec = jax.lax.fori_loop(
+            0, n_chunks, chunk, jnp.zeros((1, 128), jnp.int32))
+        return jnp.sum(vec)
 
     def body(_, lohi):
         lo, hi = lohi
@@ -67,18 +77,20 @@ def _kernel(bits_ref, rank_ref, stat_ref, agg_ref):
     stat_ref[0] = hi.astype(jnp.int32)
 
     # Padding sentinels sit above +inf; mask them out of max and sum.
+    # Same lane-vector accumulation as count_le.
     def agg_chunk(i, carry):
         m, s = carry
         blk = bits_ref[pl.ds(i * _ROW_CHUNK, _ROW_CHUNK), :]
         finite = blk <= jnp.uint32(0x7F800000)
         vals = jnp.where(
             finite, jax.lax.bitcast_convert_type(blk, jnp.float32), 0.0)
-        return jnp.maximum(m, jnp.max(vals)), s + jnp.sum(vals)
+        return (jnp.maximum(m, jnp.max(vals, axis=0, keepdims=True)),
+                s + jnp.sum(vals, axis=0, keepdims=True))
 
-    mx, sm = jax.lax.fori_loop(0, n_chunks, agg_chunk,
-                               (jnp.float32(0), jnp.float32(0)))
-    agg_ref[0] = mx
-    agg_ref[1] = sm
+    zero = jnp.zeros((1, 128), jnp.float32)
+    mx, sm = jax.lax.fori_loop(0, n_chunks, agg_chunk, (zero, zero))
+    agg_ref[0] = jnp.max(mx)
+    agg_ref[1] = jnp.sum(sm)
 
 
 @jax.jit

@@ -331,8 +331,13 @@ def build_retrieval_train_step(model, tx, criterion, cl_manager,
                 # for HBM — the TPU analog of torch.utils.checkpoint.
                 # Gradients are bitwise-identical to the unremat path
                 # (same ops, same dropout rng) — tested in
-                # tests/test_train_steps.py.
-                _forward = jax.checkpoint(_forward)
+                # tests/test_train_steps.py. The policy keeps the tiny
+                # tagged dequantized weights so backward reuses them
+                # instead of re-running quantize per matmul use.
+                from atq_tpu.nn.layers import quantized_weight_policy
+
+                _forward = jax.checkpoint(
+                    _forward, policy=quantized_weight_policy())
 
             (img_emb, txt_emb), mutated = _forward(
                 p, apply_images, captions, lengths, drop_rng)
@@ -407,7 +412,9 @@ def build_retrieval_train_step(model, tx, criterion, cl_manager,
             )
 
         if cfg.grad_checkpointing:
-            fwd = jax.checkpoint(fwd)
+            from atq_tpu.nn.layers import quantized_weight_policy
+
+            fwd = jax.checkpoint(fwd, policy=quantized_weight_policy())
         return fwd(params, imgs, captions, lengths, rng)
 
     def gradcache_train_step(state, batch, temperature, curriculum_kind,

@@ -80,37 +80,21 @@ def build_step(embed, ffn, heads, layers, seq, batch, remat, scan,
 
     from atq_tpu.nn.transformer import TernaryTransformerLayer
 
+    from atq_tpu.nn.transformer import ScannedTernaryStack
+
     dtype = jnp.bfloat16 if use_amp else None
-
-    def make_layer(idx, name):
-        return TernaryTransformerLayer(
-            embed_dim=embed, num_heads=heads, dim_feedforward=ffn,
-            dropout=0.0, use_rpb=True, sparsity_target=0.3,
-            layer_idx=idx, grad_mode=grad_mode, dtype=dtype, name=name)
-
-    class Body(nn.Module):
-        """scan body: (carry, _) -> (carry, None). One traced layer."""
-
-        @nn.compact
-        def __call__(self, carry, _):
-            y = make_layer(0, "layer")(carry, deterministic=True)
-            # The layer norms in f32 and returns f32; the scan carry must
-            # keep a fixed type, so cast back to the compute dtype.
-            return y.astype(carry.dtype), None
-
-    body = nn.remat(Body) if remat else Body
 
     class Encoder(nn.Module):
         @nn.compact
         def __call__(self, tokens):
             x = nn.Embed(VOCAB, embed, dtype=dtype)(tokens)
             if scan:
-                stack = nn.scan(body,
-                                variable_axes={"params": 0, "quant": 0},
-                                split_rngs={"params": True,
-                                            "dropout": True},
-                                length=layers)
-                x, _ = stack(name="layers")(x, None)
+                x = ScannedTernaryStack(
+                    num_layers=layers, embed_dim=embed, num_heads=heads,
+                    dim_feedforward=ffn, dropout=0.0, use_rpb=True,
+                    sparsity_target=0.3, grad_mode=grad_mode,
+                    dtype=dtype, remat=remat, name="layers",
+                )(x, deterministic=True)
             else:
                 layer_cls = nn.remat(TernaryTransformerLayer) if remat \
                     else TernaryTransformerLayer
