@@ -318,6 +318,24 @@ def _run_phase(phase, attempts=2):
     return None
 
 
+def _scale_mfu_note():
+    """Recorded production-shape MFU (benchmarks/scale_mfu.json) — not
+    re-measured here (bert-class steps would blow the phase watchdog)."""
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "scale_mfu.json")
+        rows = {r.get("config"): r for r in json.load(open(path))}
+        bb = rows.get("bert-base", {})
+        if bb.get("mfu_pct"):
+            return (f"recorded: bert-base QAT step "
+                    f"{bb['mfu_pct']:.1f}% MFU, "
+                    f"{bb['tokens_per_sec']/1e3:.1f}k tokens/s "
+                    f"(benchmarks/scale_mfu.json, not re-measured)")
+    except Exception:
+        pass
+    return None
+
+
 def main():
     # Wedges of several hours were observed on this runtime; give the
     # first phase three spaced attempts (~40 min) before giving up.
@@ -379,6 +397,7 @@ def main():
             ref_infer_ms / infer_ms if np.isfinite(infer_ms) and infer_ms > 0
             else None, 1),
         "retrieval_published_ref_ms": "195-277 (readme.md:31, MPS/CPU)",
+        "scale_mfu_note": _scale_mfu_note(),
     }
     if res_t is None or res_r is None:
         record["error"] = ("partial result: phase "

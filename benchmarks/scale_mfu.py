@@ -184,6 +184,8 @@ def main():
                         help="ref-scale + bert-base only")
     parser.add_argument("--configs", nargs="*", default=None,
                         help="subset of config names to run")
+    parser.add_argument("--batch", type=int, default=None,
+                        help="override the configs' batch size")
     parser.add_argument("--fp32", action="store_true",
                         help="also measure fp32 rows")
     args = parser.parse_args()
@@ -199,8 +201,11 @@ def main():
     for name in names:
         for use_amp in ((True, False) if args.fp32 else (True,)):
             print(f"--- {name} amp={use_amp} ---", flush=True)
+            spec = CONFIGS[name]
+            if args.batch is not None:
+                spec = spec[:5] + (args.batch,) + spec[6:]
             try:
-                row = measure(name, CONFIGS[name], use_amp=use_amp)
+                row = measure(name, spec, use_amp=use_amp)
             except Exception as e:
                 row = {"config": name, "use_amp": use_amp, "error": str(e)}
             print(row, flush=True)
