@@ -88,6 +88,10 @@ class ATQMultimodalRetrieval(nn.Module):
     grad_mode: str = "parity"
     text_moe_experts: int = 0  # >0: ternary-expert MoE FFN in the text
     # encoder layers (EP capability; 0 = reference-parity dense FFN)
+    text_scan_layers: bool = False  # build the text stack with nn.scan
+    # (ScannedTernaryStack: depth-independent program + remat with the
+    # threshold-saving policy — the production choice for deep stacks;
+    # off the parity path, params live under layers/scan/layer)
     max_seq_length: int = 50
     dropout: float = 0.1  # reference hard-codes 0.1 throughout; exposed
     # so deterministic comparisons (trajectory parity) can zero it
@@ -110,6 +114,7 @@ class ATQMultimodalRetrieval(nn.Module):
             use_rpb=self.use_residual, sparsity_target=initial_text,
             max_seq_length=self.max_seq_length, grad_mode=self.grad_mode,
             moe_experts=self.text_moe_experts, dropout=self.dropout,
+            scan_layers=self.text_scan_layers,
             dtype=self.compute_dtype,
         )
         self.fusion = MultimodalFusion(

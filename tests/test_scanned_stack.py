@@ -140,3 +140,23 @@ def test_remat_policy_equivalence():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5),
         g1, g2)
+
+
+def test_retrieval_model_scan_layers():
+    """The flagship model builds and runs with text_scan_layers=True."""
+    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
+
+    model = ATQMultimodalRetrieval(
+        vocab_size=VOCAB, embed_dim=48, hidden_dim=96,
+        text_scan_layers=True, grad_mode="ste")
+    rng = np.random.RandomState(7)
+    imgs = jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32)
+    caps = jnp.asarray(rng.randint(0, VOCAB, (2, 12)), jnp.int32)
+    lengths = jnp.asarray([12, 7], jnp.int32)
+    v = model.init(jax.random.PRNGKey(0), imgs, caps, lengths)
+    sims, mutated = model.apply(
+        v, imgs, caps, lengths, mutable=["batch_stats"])
+    assert sims.shape == (2, 2)
+    assert np.all(np.isfinite(np.asarray(sims)))
+    # the text stack's params are in the scanned layout
+    assert "scan" in v["params"]["text_encoder"]["layers"]

@@ -104,6 +104,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--moe_experts", type=int, default=0,
                         help="Ternary-expert MoE FFN in the text encoder "
                              "(0 = reference-parity dense FFN)")
+    parser.add_argument("--scan_layers", action="store_true",
+                        help="Build the text stack with nn.scan "
+                             "(depth-independent compiled program + "
+                             "threshold-saving remat; production option "
+                             "for deep stacks, off the parity path)")
     parser.add_argument("--grad_accum_steps", type=int, default=1,
                         help="GradCache two-pass accumulation: N"
                              " microbatches per optimizer step with the"
