@@ -20,6 +20,7 @@ Writes incrementally so a mid-run crash keeps earlier rows.
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -128,8 +129,10 @@ def build_step(embed, ffn, heads, layers, seq, batch, remat, scan,
     # quant (the fixed RPB precision masks) must be a real argument:
     # closed-over arrays are baked into the program as dense literals,
     # which at bert-base scale is ~680 MB of HLO text — far past any
-    # compile-request limit and wasteful at every scale.
-    @jax.jit
+    # compile-request limit and wasteful at every scale. Donating the
+    # state halves its live footprint (old + new state alive across the
+    # call otherwise — wide-2k's 6.8 GiB state exhausted HBM that way).
+    @functools.partial(jax.jit, donate_argnums=0)
     def step(state):
         (p, opt_state), q = state
         loss, grads = jax.value_and_grad(loss_fn)(p, q)
