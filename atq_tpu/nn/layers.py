@@ -249,13 +249,18 @@ class TernaryLinear(nn.Module):
 def _precision_mask(weight: jax.Array, precision_ratio: float) -> jax.Array:
     """Fixed binary mask marking the top ``precision_ratio`` fraction of |w|
     at init (reference: precision_boost.py:49-60). Non-learnable; per-epoch
-    precision_ratio updates in the reference never recompute it."""
+    precision_ratio updates in the reference never recompute it.
+
+    Stored as bool — 4x less state than the f32 of the torch reference
+    (one mask per weight matrix adds up: ~1.9 GiB of a 470M-param
+    model's 6.8 GiB state). Arithmetic uses promote on use, so f32
+    masks from old checkpoints / torch imports keep working."""
     flat = jnp.abs(weight).reshape(-1)
     k = int(precision_ratio * flat.size)
-    mask = jnp.zeros_like(flat)
+    mask = jnp.zeros(flat.shape, jnp.bool_)
     if k > 0:
         _, idx = jax.lax.top_k(flat, k)
-        mask = mask.at[idx].set(1.0)
+        mask = mask.at[idx].set(True)
     return mask.reshape(weight.shape)
 
 
@@ -301,7 +306,9 @@ class ResidualPrecisionBoostLinear(nn.Module):
             lambda: jnp.asarray(self.sparsity_target, jnp.float32),
         )
 
-        mask = mask_var.value
+        # Stored bool (4x less state); promote once here — f32 masks from
+        # old checkpoints / torch imports pass through unchanged.
+        mask = mask_var.value.astype(weight.dtype)
         if self.grad_mode == "ttq":
             wp = self.param(
                 "wp", _ttq_scale_init(weight, self.sparsity_target, True,

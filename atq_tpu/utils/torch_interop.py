@@ -316,7 +316,9 @@ def _export_quantized_linear(sd: dict, prefix: str, node: dict,
     if "bias" in node:
         sd[f"{prefix}.bias"] = np.asarray(node["bias"])
     if isinstance(qnode, dict) and "precision_mask" in qnode:
-        sd[f"{prefix}.precision_mask"] = np.asarray(qnode["precision_mask"])
+        # reference stores the mask as an f32 buffer (precision_boost.py:33)
+        sd[f"{prefix}.precision_mask"] = np.asarray(
+            qnode["precision_mask"], np.float32)
 
 
 def _export_layer_norm(sd: dict, prefix: str, node: dict) -> None:
@@ -531,7 +533,7 @@ def export_classifier_params(params: dict, quant: dict,
         sd[f"classifier.{tidx}.alpha"] = g(params, name, "alpha")
         sd[f"classifier.{tidx}.bias"] = g(params, name, "bias")
         if quant and name in quant and "precision_mask" in quant[name]:
-            m = np.asarray(quant[name]["precision_mask"])
+            m = np.asarray(quant[name]["precision_mask"], np.float32)
             if tidx == 0:
                 m = hwc_to_chw_columns(m, 64, 7, 7)
             sd[f"classifier.{tidx}.precision_mask"] = m
