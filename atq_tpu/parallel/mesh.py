@@ -87,12 +87,16 @@ def tp_spec(path_keys, leaf, tp: int,
             layer_names=DEFAULT_TP_LAYERS) -> P:
     """PartitionSpec for one param/quant leaf under tensor parallelism:
     2-D weights (and their precision masks) of the named layers shard
-    their out-features axis over 'model'; everything else replicates."""
-    if (tp > 1 and getattr(leaf, "ndim", 0) == 2
-            and str(path_keys[-1]) in ("weight", "precision_mask")
-            and leaf.shape[0] % tp == 0
+    their out-features axis over 'model'; everything else replicates.
+    Scanned stacks (ScannedTernaryStack) carry a leading layer axis —
+    their (L, out, in) weights shard the same out-features dim."""
+    if (tp > 1 and str(path_keys[-1]) in ("weight", "precision_mask")
             and any(nm in path_keys for nm in layer_names)):
-        return P("model", None)
+        ndim = getattr(leaf, "ndim", 0)
+        if ndim == 2 and leaf.shape[0] % tp == 0:
+            return P("model", None)
+        if ndim == 3 and "scan" in path_keys and leaf.shape[1] % tp == 0:
+            return P(None, "model", None)
     return P()
 
 

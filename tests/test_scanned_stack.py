@@ -160,3 +160,41 @@ def test_retrieval_model_scan_layers():
     assert np.all(np.isfinite(np.asarray(sims)))
     # the text stack's params are in the scanned layout
     assert "scan" in v["params"]["text_encoder"]["layers"]
+
+
+def test_scanned_stack_tp_sharding():
+    """Scanned (L, out, in) weights shard their out-features dim over
+    'model' (tp_spec rank-3 case) and the sharded forward matches the
+    replicated one."""
+    import flax.linen as nn
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from atq_tpu.nn.transformer import ScannedTernaryStack
+    from atq_tpu.parallel.mesh import make_mesh, shard_tree_tp
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    mesh = make_mesh(dp=4, tp=2)
+    stack = ScannedTernaryStack(num_layers=2, embed_dim=32, num_heads=4,
+                                dim_feedforward=64, dropout=0.0,
+                                grad_mode="ste")
+    x = jnp.asarray(np.random.RandomState(9).randn(4, 6, 32), jnp.float32)
+    v = stack.init(jax.random.PRNGKey(0), x)
+    y_ref = stack.apply(v, x)
+
+    placed_params, shapes_p = shard_tree_tp(v["params"], mesh, tp=2)
+    placed_quant, _ = shard_tree_tp(v["quant"], mesh, tp=2)
+    # FFN weights (2, 64, 32) / (2, 32, 64) must actually shard.
+    assert (2, 64, 32) in shapes_p
+    w = placed_params["scan"]["layer"]["linear1"]["weight"]
+    assert w.sharding.spec == P(None, "model", None)
+
+    @jax.jit
+    def fwd(p, q, x):
+        return stack.apply({"params": p, "quant": q}, x)
+
+    y_tp = fwd(placed_params, placed_quant, x)
+    # GSPMD partial-sum ordering shifts fp32 accumulation (~2e-4 rel
+    # measured on outputs of magnitude ~70).
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref),
+                               rtol=5e-4, atol=5e-4)
