@@ -121,13 +121,26 @@ def _flatten_quant(quant) -> List[Tuple[str, str, Any]]:
 
 
 def _apply_updates(quant, updates: Dict[Tuple[str, str], Any]):
+    import jax.numpy as jnp
+
     def walk(node, path):
         new = {}
         for key, child in node.items():
             if isinstance(child, dict):
                 new[key] = walk(child, path + (key,))
             else:
-                new[key] = updates.get(("/".join(path), key), child)
+                val = updates.get(("/".join(path), key))
+                if val is None:
+                    new[key] = child
+                else:
+                    # Preserve the existing leaf's shape/dtype: scanned
+                    # stacks (ScannedTernaryStack) carry per-layer quant
+                    # leaves with a leading L axis — replacing them with
+                    # a scalar would break nn.scan's axis-0 slicing.
+                    child_shape = jnp.shape(child)
+                    child_dtype = getattr(child, "dtype", jnp.float32)
+                    new[key] = jnp.broadcast_to(
+                        jnp.asarray(val, child_dtype), child_shape)
         return new
 
     return walk(quant, ())

@@ -198,3 +198,25 @@ def test_scanned_stack_tp_sharding():
     # measured on outputs of magnitude ~70).
     np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_scheduler_preserves_stacked_quant_shapes():
+    """GradualQuantizationScheduler on a scanned encoder's quant keeps
+    the (L,)-stacked sparsity_target leaves (scalar replacement would
+    break nn.scan's axis-0 slicing)."""
+    from atq_tpu.core.schedules import GradualQuantizationScheduler
+
+    _, scanned = _encoders()
+    x, _ = _tokens()
+    v = scanned.init(jax.random.PRNGKey(4), x)
+    sched = GradualQuantizationScheduler(total_epochs=6, warmup_epochs=1)
+    q0 = jax.device_get(v["quant"])
+    q1 = sched.step(q0, 3)
+    jax.tree_util.tree_map(
+        lambda a, b: (np.testing.assert_equal(np.shape(a), np.shape(b)),
+                      np.testing.assert_equal(str(np.asarray(a).dtype),
+                                              str(np.asarray(b).dtype))),
+        q0, q1)
+    # and the encoder still applies with the updated collection
+    y = scanned.apply({**v, "quant": q1}, x)
+    assert np.all(np.isfinite(np.asarray(y)))
