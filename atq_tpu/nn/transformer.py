@@ -255,3 +255,28 @@ def unstack_layer_params(tree: dict, num_layers: int,
         out[f"{prefix}{i}"] = jax.tree_util.tree_map(
             lambda leaf, i=i: leaf[i], stacked)
     return out
+
+
+def is_scanned_text_layout(tree: dict, dest: str = "layers") -> bool:
+    """True when a text-encoder collection subtree uses the scanned
+    (``layers/scan/layer``) parameter layout."""
+    node = tree.get(dest) if isinstance(tree, dict) else None
+    return isinstance(node, dict) and "scan" in node
+
+
+def normalize_text_encoder_layout(params_te: dict, quant_te: dict,
+                                  num_layers: int = 4):
+    """Convert a text-encoder subtree to the UNROLLED layout if scanned.
+
+    The scanned layout is a training-time compile/memory optimization;
+    eval, serving, and torch export all operate on the unrolled
+    ``layers_{i}`` layout (forward-only programs are small, and the
+    reference's checkpoint naming is per-layer). Returns
+    ``(params_te, quant_te, was_scanned)`` — no-op for unrolled input.
+    """
+    if not is_scanned_text_layout(params_te):
+        return params_te, quant_te, False
+    params_te = unstack_layer_params(dict(params_te), num_layers)
+    if isinstance(quant_te, dict) and is_scanned_text_layout(quant_te):
+        quant_te = unstack_layer_params(dict(quant_te), num_layers)
+    return params_te, quant_te, True

@@ -364,7 +364,14 @@ def export_resnet_params(params: dict, stats: dict,
 def export_text_encoder_params(params: dict, quant: dict, constants: dict,
                                prefix: str = "",
                                num_layers: int = 4) -> Dict[str, np.ndarray]:
-    """Inverse of :func:`import_text_encoder_state_dict`."""
+    """Inverse of :func:`import_text_encoder_state_dict`.
+
+    Accepts either text-stack layout: scanned (--scan_layers) subtrees
+    are unstacked to the reference's per-layer naming first."""
+    from atq_tpu.nn.transformer import normalize_text_encoder_layout
+
+    params, quant, _ = normalize_text_encoder_layout(
+        dict(params), dict(quant or {}), num_layers)
     p = prefix
     sd: Dict[str, np.ndarray] = {}
     if constants and "positional_encoding" in constants:

@@ -220,3 +220,33 @@ def test_scheduler_preserves_stacked_quant_shapes():
     # and the encoder still applies with the updated collection
     y = scanned.apply({**v, "quant": q1}, x)
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_scanned_checkpoint_torch_export_round_trip():
+    """A scanned text encoder exports to the reference's per-layer torch
+    naming and re-imports equal to its unstacked params."""
+    from atq_tpu.nn.transformer import normalize_text_encoder_layout
+    from atq_tpu.utils.torch_interop import (
+        export_text_encoder_params,
+        import_text_encoder_state_dict,
+    )
+
+    _, scanned = _encoders()
+    x, _ = _tokens()
+    v = scanned.init(jax.random.PRNGKey(6), x)
+    sd = export_text_encoder_params(
+        v["params"], v["quant"], v.get("constants", {}),
+        num_layers=LAYERS)
+    assert "layers.0.linear1.weight" in sd
+    p2, q2, c2 = import_text_encoder_state_dict(sd, num_layers=LAYERS)
+    p_un, q_un, _ = normalize_text_encoder_layout(
+        dict(v["params"]), dict(v["quant"]), LAYERS)
+    for i in range(LAYERS):
+        np.testing.assert_array_equal(
+            np.asarray(p2[f"layers_{i}"]["linear1"]["weight"]),
+            np.asarray(p_un[f"layers_{i}"]["linear1"]["weight"]))
+        np.testing.assert_array_equal(
+            np.asarray(q2[f"layers_{i}"]["linear1"]["precision_mask"],
+                       dtype=np.float32),
+            np.asarray(q_un[f"layers_{i}"]["linear1"]["precision_mask"],
+                       dtype=np.float32))
