@@ -217,6 +217,22 @@ def main(argv=None):
     ckpt = load_checkpoint(args.checkpoint)
     grad_mode = resolve_grad_mode(args.grad_mode, ckpt.get("params", {}))
 
+    # Scanned (--scan_layers) checkpoints serve on the unrolled layout,
+    # same as evaluate.py.
+    params = dict(ckpt.get("params", {}))
+    if "text_encoder" in params:
+        from atq_tpu.nn.transformer import normalize_text_encoder_layout
+
+        quant = dict(ckpt.get("quant", {}))
+        te_p, te_q, was_scanned = normalize_text_encoder_layout(
+            params["text_encoder"], quant.get("text_encoder", {}))
+        if was_scanned:
+            print("scanned text-stack checkpoint: converted to the "
+                  "unrolled layout for serving")
+            params["text_encoder"] = te_p
+            quant["text_encoder"] = te_q
+            ckpt = {**ckpt, "params": params, "quant": quant}
+
     if args.task == "classification":
         routes, servers = build_classifier_routes(args, ckpt, grad_mode)
     else:
