@@ -121,8 +121,6 @@ def _flatten_quant(quant) -> List[Tuple[str, str, Any]]:
 
 
 def _apply_updates(quant, updates: Dict[Tuple[str, str], Any]):
-    import jax.numpy as jnp
-
     def walk(node, path):
         new = {}
         for key, child in node.items():

@@ -190,9 +190,14 @@ def apply_reference_text_init(variables: dict, rng) -> dict:
     ):
         keys = [str(getattr(p, "key", p)) for p in path]
         key_rng = jax.random.fold_in(rng, i)
+        # A scanned stack (ScannedTernaryStack) adds a leading layer
+        # axis to every leaf; the reference's ndim>1 rule must apply to
+        # the PER-LAYER rank, or (L, 1) gates/alphas and (L, out)
+        # biases — untouched in the unrolled layout — get clobbered.
+        eff_ndim = leaf.ndim - 1 if "scan" in keys else leaf.ndim
         if keys[-1] == "embedding":
             value = 0.02 * jax.random.normal(key_rng, leaf.shape, leaf.dtype)
-        elif leaf.ndim > 1:
+        elif eff_ndim > 1:
             fan_in, fan_out = leaf.shape[-1], leaf.shape[-2]
             bound = gain * np.sqrt(6.0 / (fan_in + fan_out))
             value = jax.random.uniform(key_rng, leaf.shape, leaf.dtype,

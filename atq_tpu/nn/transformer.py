@@ -264,19 +264,68 @@ def is_scanned_text_layout(tree: dict, dest: str = "layers") -> bool:
     return isinstance(node, dict) and "scan" in node
 
 
+def _scanned_num_layers(tree: dict, dest: str = "layers") -> int:
+    """Layer count of a scanned subtree = the stacked leaves' leading
+    axis (every leaf carries it; read it off the first)."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(tree[dest]["scan"])
+    if not leaves:
+        raise ValueError("scanned subtree has no leaves")
+    return int(leaves[0].shape[0])
+
+
 def normalize_text_encoder_layout(params_te: dict, quant_te: dict,
-                                  num_layers: int = 4):
+                                  num_layers: int | None = None):
     """Convert a text-encoder subtree to the UNROLLED layout if scanned.
 
     The scanned layout is a training-time compile/memory optimization;
     eval, serving, and torch export all operate on the unrolled
     ``layers_{i}`` layout (forward-only programs are small, and the
-    reference's checkpoint naming is per-layer). Returns
-    ``(params_te, quant_te, was_scanned)`` — no-op for unrolled input.
+    reference's checkpoint naming is per-layer). The layer count is
+    read off the stacked leaves' leading axis (``num_layers`` is
+    accepted for API compatibility and cross-checked when given).
+    Returns ``(params_te, quant_te, was_scanned)`` — no-op for
+    unrolled input.
     """
     if not is_scanned_text_layout(params_te):
         return params_te, quant_te, False
-    params_te = unstack_layer_params(dict(params_te), num_layers)
+    derived = _scanned_num_layers(params_te)
+    if num_layers is not None and num_layers != derived:
+        raise ValueError(
+            f"scanned checkpoint has {derived} layers, caller expected "
+            f"{num_layers}")
+    params_te = unstack_layer_params(dict(params_te), derived)
     if isinstance(quant_te, dict) and is_scanned_text_layout(quant_te):
-        quant_te = unstack_layer_params(dict(quant_te), num_layers)
+        quant_te = unstack_layer_params(dict(quant_te), derived)
     return params_te, quant_te, True
+
+
+def normalize_checkpoint(ckpt: dict, verbose: bool = True):
+    """Checkpoint-level wrapper: convert a retrieval checkpoint's
+    ``text_encoder`` subtrees (params, quant, and ema_params when
+    present) from the scanned to the unrolled layout. Returns
+    ``(ckpt, was_scanned)``; the input dict is not mutated."""
+    params = dict(ckpt.get("params", {}))
+    if "text_encoder" not in params:
+        return ckpt, False
+    quant = dict(ckpt.get("quant", {}))
+    te_p, te_q, was_scanned = normalize_text_encoder_layout(
+        params["text_encoder"], quant.get("text_encoder", {}))
+    if not was_scanned:
+        return ckpt, False
+    params["text_encoder"] = te_p
+    quant["text_encoder"] = te_q
+    out = {**ckpt, "params": params, "quant": quant}
+    ema = ckpt.get("ema_params")
+    if isinstance(ema, dict) and "text_encoder" in ema \
+            and is_scanned_text_layout(ema["text_encoder"]):
+        ema = dict(ema)
+        ema["text_encoder"] = unstack_layer_params(
+            dict(ema["text_encoder"]),
+            _scanned_num_layers(ema["text_encoder"]))
+        out["ema_params"] = ema
+    if verbose:
+        print("scanned text-stack checkpoint: converted to the unrolled "
+              "layout")
+    return out, True

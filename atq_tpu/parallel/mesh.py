@@ -223,10 +223,15 @@ def shard_state_tp(state: dict, mesh: Mesh, tp: int,
             shapes |= s
 
     def place_by_shape(leaf):
-        if (getattr(leaf, "ndim", 0) == 2
-                and tuple(leaf.shape) in shapes):
+        ndim = getattr(leaf, "ndim", 0)
+        if ndim == 2 and tuple(leaf.shape) in shapes:
             return jax.device_put(leaf, NamedSharding(mesh,
                                                       P("model", None)))
+        if ndim == 3 and tuple(leaf.shape) in shapes:
+            # scanned-stack (L, out, in) weights — moments match on the
+            # same shape and shard the same out-features dim.
+            return jax.device_put(
+                leaf, NamedSharding(mesh, P(None, "model", None)))
         return jax.device_put(leaf, NamedSharding(mesh, P()))
 
     for key, value in state.items():

@@ -219,6 +219,10 @@ def reinit_params(params, rng):
         elif name in ("weight", "kernel") and leaf.ndim >= 2:
             fan_in = leaf.shape[-1]
             fan_out = int(np.prod(leaf.shape[:-1]))
+            if name == "weight" and leaf.ndim == 3 and "scan" in keys:
+                # Scanned stack: the leading axis is the layer count,
+                # not a fan dimension — each layer is (out, in).
+                fan_out = leaf.shape[-2]
             if name == "kernel" and leaf.ndim > 2:  # conv HWIO
                 rf = int(np.prod(leaf.shape[:-2]))
                 fan_in = leaf.shape[-2] * rf

@@ -324,7 +324,8 @@ def _scale_mfu_note():
     try:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "benchmarks", "scale_mfu.json")
-        rows = {r.get("config"): r for r in json.load(open(path))}
+        rows = {r.get("config"): r for r in json.load(open(path))
+                if r.get("use_amp") and not r.get("error")}
         bb = rows.get("bert-base", {})
         if bb.get("mfu_pct"):
             return (f"recorded: bert-base QAT step "

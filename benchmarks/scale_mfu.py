@@ -204,10 +204,11 @@ def main():
     for name in names:
         for use_amp in ((True, False) if args.fp32 else (True,)):
             print(f"--- {name} amp={use_amp} ---", flush=True)
-            spec = CONFIGS[name]
-            if args.batch is not None:
-                spec = spec[:5] + (args.batch,) + spec[6:]
             try:
+                spec = CONFIGS[name]  # inside try: a typo'd --configs
+                # name records an error row, it doesn't kill the sweep
+                if args.batch is not None:
+                    spec = spec[:5] + (args.batch,) + spec[6:]
                 row = measure(name, spec, use_amp=use_amp)
             except Exception as e:
                 row = {"config": name, "use_amp": use_amp, "error": str(e)}

@@ -192,20 +192,9 @@ def main(argv=None):
         # (layers/scan/layer) text-stack layout — a training-time
         # compile/memory optimization. Eval/serving/export run unrolled;
         # convert transparently.
-        from atq_tpu.nn.transformer import normalize_text_encoder_layout
+        from atq_tpu.nn.transformer import normalize_checkpoint
 
-        ck_params = dict(ckpt["params"])
-        ck_quant = dict(ckpt.get("quant", {}))
-        if "text_encoder" in ck_params:
-            te_p, te_q, was_scanned = normalize_text_encoder_layout(
-                ck_params["text_encoder"],
-                ck_quant.get("text_encoder", {}))
-            if was_scanned:
-                print("scanned text-stack checkpoint: converted to the "
-                      "unrolled layout for eval")
-                ck_params["text_encoder"] = te_p
-                ck_quant["text_encoder"] = te_q
-        ckpt = {**ckpt, "params": ck_params, "quant": ck_quant}
+        ckpt, _ = normalize_checkpoint(ckpt)
         state = {
             "params": ckpt["params"],
             "quant": ckpt.get("quant", {}),

@@ -219,19 +219,9 @@ def main(argv=None):
 
     # Scanned (--scan_layers) checkpoints serve on the unrolled layout,
     # same as evaluate.py.
-    params = dict(ckpt.get("params", {}))
-    if "text_encoder" in params:
-        from atq_tpu.nn.transformer import normalize_text_encoder_layout
+    from atq_tpu.nn.transformer import normalize_checkpoint
 
-        quant = dict(ckpt.get("quant", {}))
-        te_p, te_q, was_scanned = normalize_text_encoder_layout(
-            params["text_encoder"], quant.get("text_encoder", {}))
-        if was_scanned:
-            print("scanned text-stack checkpoint: converted to the "
-                  "unrolled layout for serving")
-            params["text_encoder"] = te_p
-            quant["text_encoder"] = te_q
-            ckpt = {**ckpt, "params": params, "quant": quant}
+    ckpt, _ = normalize_checkpoint(ckpt)
 
     if args.task == "classification":
         routes, servers = build_classifier_routes(args, ckpt, grad_mode)

@@ -250,3 +250,24 @@ def test_scanned_checkpoint_torch_export_round_trip():
                        dtype=np.float32),
             np.asarray(q_un[f"layers_{i}"]["linear1"]["precision_mask"],
                        dtype=np.float32))
+
+
+def test_reinit_matches_unrolled_scale():
+    """--reinit_model under --scan_layers draws the same xavier bound as
+    the unrolled layout (the leading layer axis is not a fan dim)."""
+    from atq_tpu.train.retrieval import reinit_params
+
+    unrolled, scanned = _encoders()
+    x, _ = _tokens()
+    v_u = unrolled.init(jax.random.PRNGKey(0), x)
+    v_s = scanned.init(jax.random.PRNGKey(0), x)
+    r_u = reinit_params(v_u["params"], jax.random.PRNGKey(1))
+    r_s = reinit_params(v_s["params"], jax.random.PRNGKey(1))
+    w_u = np.asarray(r_u["layers_0"]["linear1"]["weight"])
+    w_s = np.asarray(r_s["layers"]["scan"]["layer"]["linear1"]["weight"])
+    # uniform(-b, b): max|w| estimates b; the bounds must agree.
+    np.testing.assert_allclose(np.abs(w_s).max(), np.abs(w_u).max(),
+                               rtol=0.05)
+    # gates/alphas keep their init under reinit (ndim rule)
+    np.testing.assert_allclose(
+        np.asarray(r_s["layers"]["scan"]["layer"]["gate"]), 0.8, atol=1e-6)
