@@ -21,6 +21,7 @@ from atq_tpu.core.quantize import adaptive_ternary_quantization
 from atq_tpu.nn.layers import (
     TernaryLinear,
     ResidualPrecisionBoostLinear,
+    SelectiveGradientRouting,
     apply_selective_routing,
     selective_gradient_routing,
 )
@@ -31,4 +32,5 @@ __all__ = [
     "ResidualPrecisionBoostLinear",
     "apply_selective_routing",
     "selective_gradient_routing",
+    "SelectiveGradientRouting",
 ]

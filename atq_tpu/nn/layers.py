@@ -353,3 +353,11 @@ class ResidualPrecisionBoostLinear(nn.Module):
             params["weight"], alpha=params["alpha"],
             sparsity_target=quant["sparsity_target"],
         )
+
+
+# Reference-name alias: the reference exports SelectiveGradientRouting
+# (a torch.autograd.Function class, routing.py:22-59); in JAX the same
+# semantics are a custom_vjp FUNCTION. Bound so
+# `from atq_tpu import SelectiveGradientRouting` keeps working for
+# migrating code; calling it applies the routing.
+SelectiveGradientRouting = selective_gradient_routing
