@@ -185,3 +185,26 @@ def test_full_routing_backward_masks_small_activations():
     g = np.asarray(jax.grad(loss)(x))
     # top 50% by |x| (10.0 and 5.0) keep gradient; small ones are masked
     np.testing.assert_array_equal(g[0], [0.0, 1.0, 0.0, 1.0])
+
+
+def test_f32_mask_checkpoints_still_work():
+    """Masks are stored bool now; old checkpoints carry f32 {0,1} masks.
+    Promote-on-use means both dtypes produce identical outputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from atq_tpu.nn.layers import ResidualPrecisionBoostLinear
+
+    layer = ResidualPrecisionBoostLinear(features=16, precision_ratio=0.1,
+                                         grad_mode="ste")
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 8), jnp.float32)
+    v = layer.init(jax.random.PRNGKey(0), x)
+    assert v["quant"]["precision_mask"].dtype == jnp.bool_
+    y_bool = layer.apply(v, x)
+    v_f32 = {**v, "quant": {**v["quant"],
+                            "precision_mask":
+                            v["quant"]["precision_mask"].astype(
+                                jnp.float32)}}
+    y_f32 = layer.apply(v_f32, x)
+    np.testing.assert_array_equal(np.asarray(y_bool), np.asarray(y_f32))
