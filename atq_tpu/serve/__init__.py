@@ -1,3 +1,4 @@
+from atq_tpu.serve.aot import AOTServing, export_serving, load_serving
 from atq_tpu.serve.engine import BatchServer, pad_to_bucket, pick_bucket
 from atq_tpu.serve.index import EmbeddingIndex
 from atq_tpu.serve.packed_model import (
@@ -7,6 +8,9 @@ from atq_tpu.serve.packed_model import (
 )
 
 __all__ = [
+    "AOTServing",
+    "export_serving",
+    "load_serving",
     "BatchServer",
     "EmbeddingIndex",
     "pad_to_bucket",

@@ -61,6 +61,12 @@ def build_parser():
     p.add_argument("--grad-mode", "--grad_mode", dest="grad_mode",
                    type=str, default="auto",
                    choices=["auto", "parity", "ste", "ttq"])
+    p.add_argument("--aot", type=str, default=None, metavar="DIR",
+                   help="serve from ahead-of-time exported programs "
+                        "(atq_tpu/serve/aot.py). If DIR holds artifacts "
+                        "they are loaded (no model tracing at startup); "
+                        "otherwise the serving programs are exported "
+                        "there first, then served")
     p.add_argument("--packed", action="store_true",
                    help="serve from exported 2-bit planes with the dense "
                         "forward as the engine fallback")
@@ -84,6 +90,31 @@ def build_parser():
     p.add_argument("--max_batch", type=int, default=32)
     p.add_argument("--max_wait_ms", type=float, default=2.0)
     return p
+
+
+def _aot_front(args, name, primary, fallback, example_args):
+    """Honor ``--aot``: serve ``name`` from a saved compiled program.
+
+    If the artifact exists it is loaded and ``primary`` is never traced
+    (cold start skips compilation of the Python model entirely); if not,
+    ``primary`` is exported to ``<aot>/<name>`` first. The live
+    ``fallback`` is kept when available — an AOT program that fails a
+    batch re-serves it through the engine's fallback path like any other
+    primary."""
+    if not args.aot:
+        return primary, fallback
+    from atq_tpu.serve.aot import AOTServing, export_serving
+
+    path = os.path.join(args.aot, name)
+    if os.path.exists(os.path.join(path, "manifest.json")):
+        print(json.dumps({"aot": "loaded", "path": path}), flush=True)
+        return AOTServing.load(path), fallback
+    aot = export_serving(primary, example_args)
+    aot.save(path)
+    print(json.dumps({"aot": "exported", "path": path,
+                      "batch_polymorphic": aot.batch_polymorphic}),
+          flush=True)
+    return aot, fallback
 
 
 def build_classifier_routes(args, ckpt, grad_mode):
@@ -110,6 +141,11 @@ def build_classifier_routes(args, ckpt, grad_mode):
         primary = jax.jit(lambda x: model.apply(
             {**variables, "packed": packed}, x, train=False))
         fallback = dense
+    import numpy as np
+
+    primary, fallback = _aot_front(
+        args, "predict", primary, fallback,
+        (np.zeros((2, 28, 28, 1), np.float32),))
     server = BatchServer(primary, max_batch=args.max_batch,
                          max_wait_ms=args.max_wait_ms,
                          fallback_fn=fallback).start()
@@ -181,6 +217,15 @@ def build_retrieval_routes(args, ckpt, grad_mode):
         # repeatedly-crashing primary is latched off.
         img_fallback, txt_fallback = img_fwd, txt_fwd
         img_fwd, txt_fwd = encoders(quant_vars)
+    import numpy as np
+
+    img_fwd, img_fallback = _aot_front(
+        args, "embed_image", img_fwd, img_fallback,
+        (np.zeros((2, args.image_size, args.image_size, 3), np.float32),))
+    txt_fwd, txt_fallback = _aot_front(
+        args, "embed_text", txt_fwd, txt_fallback,
+        (np.zeros((2, args.max_seq_length), np.int32),
+         np.asarray([5, 5], np.int32)))
     img_server = BatchServer(img_fwd, max_batch=args.max_batch,
                              max_wait_ms=args.max_wait_ms,
                              fallback_fn=img_fallback).start()
