@@ -10,9 +10,11 @@ Behavior reproduced:
 - one dataset item per (image, caption) pair — 5 captions/image (:227-233);
 - vocabulary from train captions with MIN FREQUENCY 5 and specials
   PAD=0 / UNK=1 / START=2 / END=3 (:235-265);
-- NLTK punkt tokenization when available with a ``.split()`` fallback
-  (:244-251, :283-289) — offline environments take the fallback, exactly
-  like the reference without punkt data;
+- NLTK punkt tokenization when available (:244-251, :283-289); offline
+  environments use the vendored PTB tokenizer (treebank.py) which is
+  token-identical to word_tokenize on cleaned captions, so vocab ids match
+  a punkt-EQUIPPED reference run; ``ATQ_SPLIT_TOKENIZER=1`` reproduces the
+  reference's punkt-less ``.split()`` fallback instead;
 - items capped/padded to max_length with START/END, length = min(tokens+2,
   max_length) (:270-308);
 - train transform: resize + random horizontal flip + ImageNet
@@ -56,9 +58,18 @@ _USE_NLTK = None
 
 
 def tokenize(caption: str) -> List[str]:
-    """NLTK word_tokenize when punkt data exists, else whitespace split —
-    the reference's exact fallback chain."""
+    """The reference's punkt path, without needing NLTK data.
+
+    Chain: real ``nltk.word_tokenize`` when punkt data is installed (the
+    reference's primary path, multimodal_data.py:244-251) -> the vendored
+    PTB tokenizer (atq_tpu/data/treebank.py — token-identical to
+    word_tokenize on the cleaned-caption domain, so offline boxes build
+    the same vocab ids as a punkt-equipped reference run) ->
+    ``ATQ_SPLIT_TOKENIZER=1`` forces the reference's ``.split()`` fallback
+    for reproducing a punkt-LESS reference run."""
     global _USE_NLTK
+    if os.environ.get("ATQ_SPLIT_TOKENIZER", "0") == "1":
+        return caption.lower().split()
     if _USE_NLTK is None:
         _USE_NLTK = _nltk_available()
     if _USE_NLTK:
@@ -68,7 +79,9 @@ def tokenize(caption: str) -> List[str]:
             return nltk.tokenize.word_tokenize(caption.lower())
         except Exception:
             pass
-    return caption.lower().split()
+    from atq_tpu.data.treebank import word_tokenize
+
+    return word_tokenize(caption.lower())
 
 
 def clean_caption(caption: str) -> str:

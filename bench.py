@@ -218,6 +218,15 @@ def bench_retrieval_tpu(batch=64, image_size=160, use_amp=False,
     import jax
     import jax.numpy as jnp
 
+    from atq_tpu.utils.platform import enable_compilation_cache
+
+    # Same persistent compile cache as the classification phase: each
+    # phase runs in a fresh subprocess, and the tuned retrieval step's
+    # cold compile alone blew the 720 s watchdog in round 3
+    # (BENCH_r03.json tail). With the disk cache warm the phase is
+    # measurement-bound (~60 s).
+    enable_compilation_cache()
+
     from atq_tpu.losses.contrastive import (
         ContrastiveLearningManager,
         HardNegativeMiningInfoNCE,
@@ -288,6 +297,26 @@ def bench_retrieval_tpu(batch=64, image_size=160, use_amp=False,
     return pairs_per_sec, infer_ms
 
 
+PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "bench_partial.json")
+
+
+def _write_partial(phase, result):
+    """Persist each phase's result as it lands: a later phase timing out
+    (or wedging the chip) must not lose the numbers already measured."""
+    try:
+        partial = {}
+        if os.path.exists(PARTIAL_PATH):
+            with open(PARTIAL_PATH) as f:
+                partial = json.load(f)
+        partial[phase] = result
+        partial["_updated"] = time.strftime("%Y-%m-%d %H:%M:%S")
+        with open(PARTIAL_PATH, "w") as f:
+            json.dump(partial, f, indent=1)
+    except Exception:
+        pass
+
+
 def _run_phase(phase, attempts=2):
     """Run one TPU benchmark phase in a killable subprocess.
 
@@ -309,12 +338,15 @@ def _run_phase(phase, attempts=2):
         if out.returncode == 0:
             for line in reversed(out.stdout.strip().splitlines()):
                 try:
-                    return json.loads(line)
+                    result = json.loads(line)
+                    _write_partial(phase, result)
+                    return result
                 except ValueError:
                     continue
         print(f"# bench phase {phase}: attempt {i + 1} failed "
               f"(rc={out.returncode}): {out.stderr.strip()[-500:]}",
               file=sys.stderr)
+    _write_partial(phase, {"error": "all attempts failed or timed out"})
     return None
 
 
@@ -344,10 +376,11 @@ def main():
     # If the classifier phase never came back the chip is wedged; don't
     # burn another retry cycle on the retrieval phase.
     res_r = _run_phase("retrieval", attempts=1 if res_t is None else 2)
-    # Tuned config in its own killable phase (one attempt, best-effort):
-    # a hang here must not discard the recipe numbers above or re-wedge
-    # the chip with a retry mid-device-work.
-    res_rt = _run_phase("retrieval_tuned", attempts=1) if res_r else None
+    # Tuned config in its own killable phase. Two attempts: with the
+    # persistent compile cache the retry is cheap (the first attempt's
+    # compiles are cached even if its measurement window timed out), and
+    # a missing tuned number was round 3's one incomplete bench record.
+    res_rt = _run_phase("retrieval_tuned", attempts=2) if res_r else None
     torch_throughput = bench_torch_cpu()
 
     if res_t is None and res_r is None:

@@ -8,8 +8,10 @@ and runs a data-parallel jitted step over the global 8-device mesh with a
 gradient psum, asserting both processes agree with the single-process
 result.
 
-Skipped by default (spawning JAX subprocesses is slow and needs free
-ports); run with ``ATQ_MULTIHOST=1 python -m pytest tests/test_multihost.py``.
+Runs in the DEFAULT suite (VERDICT r3 next-step #8: the rehearsal must
+not silently rot) — it is one jitted step and finishes in ~15-20 s.
+``ATQ_MULTIHOST=0`` opts out (e.g. sandboxes that forbid localhost
+sockets); the ``slow`` marker keeps it out of the fast gate.
 """
 
 import os
@@ -99,8 +101,8 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.skipif(os.environ.get("ATQ_MULTIHOST") != "1",
-                    reason="set ATQ_MULTIHOST=1 to run the 2-process "
+@pytest.mark.skipif(os.environ.get("ATQ_MULTIHOST") == "0",
+                    reason="ATQ_MULTIHOST=0 opts out of the 2-process "
                            "jax.distributed rehearsal")
 def test_two_process_dp_step(tmp_path):
     worker = tmp_path / "worker.py"
