@@ -331,8 +331,17 @@ class Flickr8kDataset:
             else None
         if img is None:
             if self.synthetic:
+                # zlib.crc32, NOT hash(): Python string hashing is
+                # randomized per process (PYTHONHASHSEED), which made every
+                # process generate DIFFERENT synthetic images — eval
+                # metrics on the same checkpoint jittered by several R@K
+                # points across runs, which round 3 misread as packed-path
+                # drift (benchmarks/BENCHMARKS.md round-4 note).
+                import zlib
+
                 raw = _synthetic_image(self._latents[name], self.image_size,
-                                       seed=hash(name) % 2**31)
+                                       seed=zlib.crc32(name.encode())
+                                       % 2**31)
             else:
                 from PIL import Image
 

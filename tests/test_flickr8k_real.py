@@ -171,3 +171,34 @@ def test_dataloaders_real_branch(flickr_root):
     assert images.shape == (4, 16, 16, 3) and images.dtype == np.float32
     assert ids.shape == (4, 8) and ids.dtype == np.int32
     assert lengths.shape == (4,)
+
+
+def test_synthetic_images_process_deterministic():
+    """Synthetic image seeds must not depend on Python's randomized string
+    hashing: hash(name)-seeded generation made every PROCESS see different
+    eval images, so identical evaluate.py invocations returned R@K metrics
+    differing by several points (round 3 misread this as packed-serving
+    drift). crc32 seeding pins the corpus across processes — asserted by
+    generating the same item under two different PYTHONHASHSEEDs."""
+    import subprocess
+    import sys
+    import zlib
+
+    prog = (
+        "from atq_tpu.data.flickr8k import Flickr8kDataset\n"
+        "import numpy as np, zlib\n"
+        "ds = Flickr8kDataset(root_dir='/tmp/nonexistent_f8k_det',"
+        " split='test', image_size=32, synthetic_images=6)\n"
+        "img, _, _ = ds[0]\n"
+        "print('CRC', zlib.crc32(np.ascontiguousarray(img).tobytes()))\n"
+    )
+    crcs = []
+    for hashseed in ("0", "4242"):
+        env = dict(os.environ, PYTHONHASHSEED=hashseed,
+                   ATQ_NO_DOWNLOAD="1", JAX_PLATFORMS="cpu")
+        out = subprocess.run([sys.executable, "-c", prog], env=env,
+                             capture_output=True, text=True, timeout=120)
+        assert out.returncode == 0, out.stderr
+        crcs.append([ln for ln in out.stdout.splitlines()
+                     if ln.startswith("CRC")][0])
+    assert crcs[0] == crcs[1], f"synthetic corpus varies by process: {crcs}"

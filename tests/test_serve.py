@@ -236,3 +236,52 @@ def test_export_packed_collection_includes_ttq_layers():
     got = model.apply({**variables, "packed": packed}, x, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=2e-2, atol=5e-2)  # bf16 correction, large logits
+
+
+def test_packed_eval_metrics_match_dense_within_1pt():
+    """End-to-end eval parity (VERDICT r3 next-step #3): the packed 2-bit
+    serving path must reproduce the dense eval's retrieval metrics within
+    1 R@K point — measured here on a TTQ retrieval model over the
+    deterministic synthetic corpus. (Round 3 recorded a 4-point drift;
+    that was eval nondeterminism — hash()-seeded synthetic images varied
+    per process — not packed-path error. With crc32 seeding the two paths
+    are metric-identical; the 1-pt bar guards the packed path itself.)"""
+    from atq_tpu.data.flickr8k import Flickr8kDataset, Flickr8kLoader
+    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
+    from atq_tpu.serve.packed_model import export_packed_collection
+    from atq_tpu.train.retrieval import build_embed_fn
+    from atq_tpu.train.retrieval_metrics import compute_retrieval_metrics
+
+    ds = Flickr8kDataset(root_dir="/tmp/nonexistent_flickr8k_serve",
+                         split="test", image_size=64, max_length=20,
+                         synthetic_images=24)
+    loader = Flickr8kLoader(ds, batch_size=30)
+    model = ATQMultimodalRetrieval(
+        vocab_size=ds.vocab_size, embed_dim=48, hidden_dim=96,
+        use_residual=True, max_seq_length=20, grad_mode="ttq")
+    rng = jax.random.PRNGKey(3)
+    v = model.init(rng, jnp.zeros((1, 64, 64, 3)),
+                   jnp.zeros((1, 20), jnp.int32),
+                   jnp.asarray([5], jnp.int32))
+    state = {"params": v["params"], "quant": v.get("quant", {}),
+             "constants": v.get("constants", {}),
+             "batch_stats": v.get("batch_stats", {})}
+    packed = export_packed_collection(v["params"], v.get("quant"))
+
+    def all_embeddings(packed_coll):
+        fn = jax.jit(build_embed_fn(model, packed=packed_coll),
+                     static_argnames=("use_ema",))
+        imgs, txts = [], []
+        for batch in loader:
+            i, t = fn(state, batch, False)
+            imgs.append(np.asarray(i))
+            txts.append(np.asarray(t))
+        return np.concatenate(imgs), np.concatenate(txts)
+
+    img_d, txt_d = all_embeddings(None)
+    img_p, txt_p = all_embeddings(packed)
+    m_dense = compute_retrieval_metrics(img_d @ txt_d.T)
+    m_packed = compute_retrieval_metrics(img_p @ txt_p.T)
+    for k in m_dense:
+        assert abs(m_dense[k] - m_packed[k]) <= 1.0, (
+            f"{k}: dense {m_dense[k]} vs packed {m_packed[k]}")
