@@ -36,6 +36,42 @@ from atq_tpu.core.packing import pack_planar, pack_planar32
 from atq_tpu.core.quantize import adaptive_ternary_quantization
 from atq_tpu.ops.ternary_matmul import packed_ternary_matmul
 
+import dataclasses
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class StaticShape:
+    """Hashable, jit-STATIC (N, K) logical weight shape inside a packed
+    entry. Registered static so a whole packed collection can be passed
+    as a jit ARGUMENT — the plane/correction arrays trace as normal
+    device buffers while the shape stays a Python constant (it sizes the
+    Pallas grid and the unpack, which must not be traced).
+
+    Why arguments and not closures: a closed-over array is embedded in
+    the compiled program as a literal constant. Serving programs built
+    that way carry every weight byte inside the executable — compile
+    requests bloat (a 680 MB HLO was rejected by this runtime's remote
+    compiler in round 3), the buffers bypass the normal device-allocator
+    path, and the program can't share weight buffers across shapes. All
+    serving entry points now thread weights as arguments, matching the
+    training paths (which were always argument-passing and have never
+    crashed the worker).
+
+    Behaves like the (n, k) tuple it replaces so every consumer keeps
+    indexing/unpacking it."""
+
+    nk: tuple
+
+    def __iter__(self):
+        return iter(self.nk)
+
+    def __getitem__(self, i):
+        return self.nk[i]
+
+    def __len__(self):
+        return len(self.nk)
+
 
 def _pack32() -> bool:
     """ATQ_PACK32=1 stores the planes as int32 words (16 values/word,
@@ -143,7 +179,7 @@ def _pack_quantized_layer(params: Dict, quant: Optional[Dict],
     entry = {
         "packed": packed,
         "alpha": jnp.asarray(a).reshape(()),
-        "shape": tuple(weight.shape),
+        "shape": StaticShape(tuple(int(d) for d in weight.shape)),
     }
     if is_ttq:
         # TTQ layers carry asymmetric scales (nn/layers.py grad_mode='ttq',
@@ -242,26 +278,33 @@ class PackedClassifier:
 
         self._model = ATQImageClassifier(use_rpb=use_rpb,
                                          hidden_size=hidden_size)
-        self._features_vars = {
+        # Weights are committed to the device ONCE and passed as jit
+        # ARGUMENTS on every call — not closed over. Closure capture
+        # embeds every weight byte into the executable as literal
+        # constants (see StaticShape docstring); argument passing keeps
+        # the program weight-free and the buffers on the normal
+        # device-allocator path, exactly like the (stable) training
+        # steps.
+        self._features_vars = jax.device_put({
             "params": params["features"],
             "batch_stats": batch_stats["features"],
-        }
-        self.packed = pack_quantized_params(
+        })
+        self.packed = jax.device_put(pack_quantized_params(
             params, quant, ["classifier_0", "classifier_3"]
-        )
+        ))
         self._apply = jax.jit(self._forward)
 
-    def _forward(self, x):
+    @staticmethod
+    def _forward(features_vars, packed, x):
         from atq_tpu.models.image_classifier import _ConvFeatures
 
-        features = _ConvFeatures().apply(self._features_vars, x,
-                                         train=False)
-        h = packed_linear_apply(self.packed["classifier_0"], features)
+        features = _ConvFeatures().apply(features_vars, x, train=False)
+        h = packed_linear_apply(packed["classifier_0"], features)
         h = jax.nn.relu(h)
-        return packed_linear_apply(self.packed["classifier_3"], h)
+        return packed_linear_apply(packed["classifier_3"], h)
 
     def __call__(self, x):
-        return self._apply(x)
+        return self._apply(self._features_vars, self.packed, x)
 
     def memory_footprint_bytes(self) -> Dict[str, int]:
         """Serving weight bytes: packed planes + corrections + bias."""
@@ -279,7 +322,7 @@ class PackedClassifier:
                 total += entry["coo_val"].size * 2
             if "bias" in entry:
                 total += entry["bias"].size * 4
-        dense = sum(int(np.prod(e["shape"])) * 4
+        dense = sum(int(np.prod(tuple(e["shape"]))) * 4
                     for e in self.packed.values())
         return {"packed_bytes": int(total), "dense_fp32_bytes": int(dense)}
 

@@ -422,10 +422,16 @@ def build_train_step(atq_model, base_model, atq_tx, base_tx,
 
 def build_eval_step(model, params_key: str, stats_key: str,
                     packed=None):
-    """``packed`` (an exported 2-bit serving collection) is closed over,
-    not threaded through ``state``: its entries carry static shape
-    metadata that must not be traced."""
-    def eval_step(state, batch):
+    """Returns an ALREADY-JITTED ``eval_step(state, batch)``.
+
+    ``packed`` (an exported 2-bit serving collection, with jit-static
+    StaticShape leaves) is committed to the device once and passed as a
+    jit ARGUMENT on every call — not closed over, which would embed every
+    weight byte into the executable as literal constants (see
+    serve/packed_model.py StaticShape). Do not re-wrap in jax.jit."""
+    packed = jax.device_put(packed) if packed else None
+
+    def _eval_step(packed, state, batch):
         images, labels = batch
         variables = {"params": state[params_key],
                      "quant": state.get("quant", {}),
@@ -439,6 +445,11 @@ def build_eval_step(model, params_key: str, stats_key: str,
             "correct": jnp.sum(jnp.argmax(logits, -1) == labels),
             "count": jnp.asarray(labels.shape[0], jnp.int32),
         }
+
+    jitted = jax.jit(_eval_step)
+
+    def eval_step(state, batch):
+        return jitted(packed, state, batch)
 
     return eval_step
 
@@ -547,10 +558,10 @@ def train_classifier(cfg: ClassifierConfig, loaders=None, verbose=True):
         build_train_step(atq_model, base_model, atq_tx, base_tx, cfg),
         donate_argnums=(0,),
     )
-    atq_eval = jax.jit(build_eval_step(atq_model, "atq_params",
-                                       "atq_batch_stats"))
-    base_eval = jax.jit(build_eval_step(base_model, "base_params",
-                                        "base_batch_stats"))
+    atq_eval = build_eval_step(atq_model, "atq_params",
+                               "atq_batch_stats")  # already jitted
+    base_eval = build_eval_step(base_model, "base_params",
+                                "base_batch_stats")
 
     initial_sparsity, final_sparsity = 0.05, cfg.sparsity
     best_val_acc = 0.0

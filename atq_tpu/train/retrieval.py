@@ -578,11 +578,21 @@ def build_baseline_train_step(baseline_model, baseline_tx, criterion):
 
 
 def build_embed_fn(model, packed=None, int8=None):
-    """``packed`` (exported 2-bit serving collection) is closed over — its
-    entries carry static shape metadata that must not be traced. ``int8``
-    is the exported int8-trunk collection (serve/int8_trunk.py): the
-    ResNet backbone serves from int8 weights with BN folded."""
-    def embed(state, batch, use_ema: bool = False):
+    """Returns an ALREADY-JITTED ``embed(state, batch, use_ema=False)``.
+
+    ``packed`` (exported 2-bit serving collection, with jit-static
+    ``StaticShape`` leaves) and ``int8`` (the int8-trunk collection,
+    serve/int8_trunk.py) are committed to the device once here and then
+    passed as jit ARGUMENTS on every call. Do NOT re-wrap the result in
+    ``jax.jit``: an outer trace would capture the weight trees by
+    closure and embed them into the program as literal constants —
+    exactly the constant-laden-executable shape the packed-serving
+    crash investigation moved away from (serve/packed_model.py
+    StaticShape docstring)."""
+    packed = jax.device_put(packed) if packed else None
+    int8 = jax.device_put(int8) if int8 else None
+
+    def _embed(packed, int8, state, batch, use_ema: bool = False):
         images, captions, lengths = batch
         if images.dtype == jnp.uint8:
             from atq_tpu.data.flickr8k import IMAGENET_MEAN, IMAGENET_STD
@@ -601,6 +611,11 @@ def build_embed_fn(model, packed=None, int8=None):
             variables,
             images, captions, lengths, return_embeddings=True, train=False,
         )
+
+    jitted = jax.jit(_embed, static_argnames=("use_ema",))
+
+    def embed(state, batch, use_ema: bool = False):
+        return jitted(packed, int8, state, batch, use_ema)
 
     return embed
 
@@ -790,7 +805,7 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
         build_retrieval_train_step(model, tx, criterion, cl_manager, cfg),
         donate_argnums=(0,),
     )
-    embed_fn = jax.jit(build_embed_fn(model), static_argnames=("use_ema",))
+    embed_fn = build_embed_fn(model)  # already jitted
 
     best_val_r1 = 0.0
     train_losses, val_metrics_history, pairs_per_sec_hist = [], [], []

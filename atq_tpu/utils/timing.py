@@ -76,6 +76,52 @@ def steady_state_sec_per_step(step_fn: Callable, state,
     return max(best - _roundtrip_floor(), 1e-9) / n, state
 
 
+def steady_state_step_stats(step_fn: Callable, state,
+                            args: Sequence = (), warmup: int = 3,
+                            iters: int = 20, windows: int = 5):
+    """Median-of-N-windows step timing with dispersion (benchmark
+    protocol, round 4): device rate over the tunnel jitters ~15%
+    (occasionally 2x) window to window, so a best-window number is not
+    comparable run to run — round 3's config-3 headline (6.5M tok/s)
+    could not be reproduced by a later refresh (3.4M). Each of the
+    ``windows`` windows is autoscaled to >= ~0.6 s of chained device
+    work, synced once via ``device_get``, and pays the measured
+    roundtrip floor; the reported number is the MEDIAN with the IQR as
+    the dispersion bar. Returns ``(stats, final_state)``."""
+    for _ in range(warmup):
+        state, out = step_fn(state, *args)
+    sync_tree(out)
+
+    def timed(n: int) -> float:
+        nonlocal state
+        t0 = time.time()
+        for _ in range(n):
+            state, out = step_fn(state, *args)
+        sync_tree(out)
+        return time.time() - t0
+
+    target_window_sec, max_iters = 0.6, 512
+    pilot = timed(iters)
+    est = pilot / iters
+    n = min(max_iters, max(iters, int(target_window_sec / max(est, 1e-7))))
+    floor = _roundtrip_floor()
+    samples = sorted(max(timed(n) - floor, 1e-9) / n
+                     for _ in range(max(windows, 3)))
+    k = len(samples)
+    med = (samples[k // 2] if k % 2
+           else 0.5 * (samples[k // 2 - 1] + samples[k // 2]))
+    q1 = samples[max(0, (k - 1) // 4)]
+    q3 = samples[min(k - 1, (3 * (k - 1) + 2) // 4)]
+    stats = {
+        "sec_per_step_median": med,
+        "sec_per_step_best": samples[0],
+        "sec_per_step_iqr": q3 - q1,
+        "windows_sec_per_step": samples,
+        "iters_per_window": n,
+    }
+    return stats, state
+
+
 _FLOOR_CACHE: list = []
 
 

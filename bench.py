@@ -96,19 +96,21 @@ def bench_tpu() -> float:
     step_rng = jax.random.PRNGKey(1)
     sparsity = jnp.float32(0.3)
     l1 = jnp.float32(1e-5)
-    # Honest timing: device_get-synced two-window slope
-    # (atq_tpu/utils/timing.py) — block_until_ready can return early over
-    # the axon tunnel and each dispatch->fetch roundtrip costs ~27 ms.
-    from atq_tpu.utils.timing import steady_state_sec_per_step
+    # Honest timing: device_get-synced windows (atq_tpu/utils/timing.py) —
+    # block_until_ready can return early over the axon tunnel and each
+    # dispatch->fetch roundtrip costs ~27 ms. Round-4 protocol: MEDIAN of
+    # 5 windows (best-window numbers proved unreproducible round to
+    # round; see BENCHMARKS.md).
+    from atq_tpu.utils.timing import steady_state_step_stats
 
     def step_fn(state):
         new_state, metrics = train_step(state, batch, sparsity, l1, step_rng)
         return new_state, metrics["loss"]
 
-    dt, _ = steady_state_sec_per_step(step_fn, state, (),
-                                      warmup=WARMUP_STEPS,
-                                      iters=MEASURE_STEPS)
-    return BATCH / dt
+    stats, _ = steady_state_step_stats(step_fn, state, (),
+                                       warmup=WARMUP_STEPS,
+                                       iters=MEASURE_STEPS)
+    return BATCH / stats["sec_per_step_median"]
 
 
 def bench_torch_cpu() -> float:
@@ -273,20 +275,20 @@ def bench_retrieval_tpu(batch=64, image_size=160, use_amp=False,
     )
 
     # Device-resident per-call constants (see bench_tpu note) + honest
-    # slope timing (atq_tpu/utils/timing.py).
-    from atq_tpu.utils.timing import steady_state_sec_per_step
+    # median-of-5-windows timing (atq_tpu/utils/timing.py).
+    from atq_tpu.utils.timing import steady_state_step_stats
 
     temp = jnp.float32(0.07)
     stage = jnp.int32(0)
     key = jax.random.PRNGKey(1)
-    dt, state = steady_state_sec_per_step(
+    stats, state = steady_state_step_stats(
         lambda s: step(s, batch_data, temp, stage, key), state, (),
         warmup=3, iters=10)
-    pairs_per_sec = batch / dt
+    pairs_per_sec = batch / stats["sec_per_step_median"]
     if not measure_infer:
         return pairs_per_sec, float("nan")
 
-    embed = jax.jit(build_embed_fn(model), static_argnames=("use_ema",))
+    embed = build_embed_fn(model)  # already jitted
     one = (batch_data[0][:1], batch_data[1][:1], batch_data[2][:1])
     emb_state = {k: state[k] for k in
                  ("params", "quant", "constants", "batch_stats",
@@ -431,6 +433,8 @@ def main():
             ref_infer_ms / infer_ms if np.isfinite(infer_ms) and infer_ms > 0
             else None, 1),
         "retrieval_published_ref_ms": "195-277 (readme.md:31, MPS/CPU)",
+        "timing_protocol": "median-of-5-windows (round 4; earlier rounds "
+                           "reported best-window, typically ~5-15% higher)",
         "scale_mfu_note": _scale_mfu_note(),
     }
     if res_t is None or res_r is None:

@@ -33,17 +33,31 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _steady_state(step_fn, state, args, warmup=3, iters=20, windows=3):
-    """Honest seconds/step: device_get-synced two-window slope timing
+def _steady_state(step_fn, state, args, warmup=3, iters=20, windows=5):
+    """Honest seconds/step: device_get-synced window timing
     (atq_tpu/utils/timing.py) — block_until_ready can return early over
     the axon tunnel and each dispatch->fetch roundtrip costs ~27 ms, so
-    naive windows measure mostly latency."""
-    from atq_tpu.utils.timing import steady_state_sec_per_step
+    naive windows measure mostly latency. Round-4 protocol: MEDIAN of
+    N>=5 windows plus IQR (best-window headlines proved unreproducible
+    across tunnel windows; BENCHMARKS.md round-3 config-3 note).
+    Returns (median_sec_per_step, stats_dict)."""
+    from atq_tpu.utils.timing import steady_state_step_stats
 
-    sec, _state = steady_state_sec_per_step(step_fn, state, args,
+    stats, _state = steady_state_step_stats(step_fn, state, args,
                                             warmup=warmup, iters=iters,
                                             windows=windows)
-    return sec
+    return stats["sec_per_step_median"], stats
+
+
+def _dispersion(result, stats):
+    """Attach the window dispersion to a config's result dict."""
+    result["ms_per_step_iqr"] = stats["sec_per_step_iqr"] * 1000
+    result["ms_per_step_best_window"] = stats["sec_per_step_best"] * 1000
+    result["windows_ms_per_step"] = [s * 1000
+                                     for s in stats["windows_sec_per_step"]]
+    result["timing_protocol"] = "median-of-%d-windows" % len(
+        stats["windows_sec_per_step"])
+    return result
 
 
 def _add_mfu(result, jitted, dt, *concrete_args):
@@ -126,8 +140,9 @@ def bench_classifier(use_rpb: bool, distill: bool, batch=256):
     def step_fn(state, *args):
         return step(state, batch_data, sparsity, l1, key)
 
-    dt = _steady_state(step_fn, state, ())
-    return _add_mfu({"ms_per_step": dt * 1000, "imgs_per_sec": batch / dt},
+    dt, stats = _steady_state(step_fn, state, ())
+    return _add_mfu(_dispersion({"ms_per_step": dt * 1000,
+                                 "imgs_per_sec": batch / dt}, stats),
                     step, dt, state, batch_data, sparsity, l1, key)
 
 
@@ -165,9 +180,10 @@ def bench_mixed_precision(batch=64, seq=128, dim=256):
     def step_fn(state, *args):
         return step(state)
 
-    dt = _steady_state(step_fn, state, ())
-    return _add_mfu({"ms_per_step": dt * 1000,
-                     "tokens_per_sec": batch * seq / dt}, step, dt, state)
+    dt, stats = _steady_state(step_fn, state, ())
+    return _add_mfu(_dispersion({"ms_per_step": dt * 1000,
+                                 "tokens_per_sec": batch * seq / dt},
+                                stats), step, dt, state)
 
 
 def bench_packed_inference(batch=64):
@@ -199,7 +215,8 @@ def bench_packed_inference(batch=64):
             fp["dense_fp32_bytes"] / fp["packed_bytes"],
         "pure_ternary_compression": 16.0,
     }
-    return _add_mfu(result, served._apply, packed_ms / 1000, x)
+    return _add_mfu(result, served._apply, packed_ms / 1000,
+                    served._features_vars, served.packed, x)
 
 
 def bench_retrieval(batch=64, image_size=160, use_amp=False):
@@ -211,8 +228,9 @@ def bench_retrieval(batch=64, image_size=160, use_amp=False):
     step, step_fn, state, (batch_data, temp, stage, key) = (
         build_retrieval_step(batch, image_size=image_size, use_amp=use_amp))
 
-    dt = _steady_state(step_fn, state, (), warmup=3, iters=10)
-    return _add_mfu({"ms_per_step": dt * 1000, "pairs_per_sec": batch / dt},
+    dt, stats = _steady_state(step_fn, state, (), warmup=3, iters=10)
+    return _add_mfu(_dispersion({"ms_per_step": dt * 1000,
+                                 "pairs_per_sec": batch / dt}, stats),
                     step, dt, state, batch_data, temp, stage, key)
 
 

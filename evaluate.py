@@ -143,9 +143,8 @@ def main(argv=None):
 
             packed = export_packed_collection(ckpt["params"],
                                               ckpt.get("quant"))
-        eval_fn = jax.jit(build_eval_step(model, "atq_params",
-                                          "atq_batch_stats",
-                                          packed=packed))
+        eval_fn = build_eval_step(model, "atq_params", "atq_batch_stats",
+                                  packed=packed)
         acc, loss = _run_eval(eval_fn, state, loader)
         metrics = {"accuracy": acc, "loss": loss}
         print(f"{args.dataset} {args.split} accuracy: {acc:.2f}%")
@@ -213,8 +212,7 @@ def main(argv=None):
 
             int8 = export_int8_collection(ckpt["params"],
                                           ckpt.get("batch_stats", {}))
-        embed_fn = jax.jit(build_embed_fn(model, packed=packed, int8=int8),
-                           static_argnames=("use_ema",))
+        embed_fn = build_embed_fn(model, packed=packed, int8=int8)
         metrics = evaluate_model(embed_fn, state, loader)
         for k, v in metrics.items():
             print(f"{k}: {v:.2f}")

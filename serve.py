@@ -129,17 +129,29 @@ def build_classifier_routes(args, ckpt, grad_mode):
         hidden_size=256 if args.wider_layers else 128,
         grad_mode=grad_mode,
     )
-    variables = {"params": ckpt["params"], "quant": ckpt.get("quant", {}),
-                 "batch_stats": ckpt.get("batch_stats", {})}
-    dense = jax.jit(lambda x: model.apply(variables, x, train=False))
+    # Weights ride as jit ARGUMENTS (device-committed once), never as
+    # closure constants embedded in the executable — see
+    # serve/packed_model.py StaticShape for why.
+    variables = jax.device_put(
+        {"params": ckpt["params"], "quant": ckpt.get("quant", {}),
+         "batch_stats": ckpt.get("batch_stats", {})})
+    fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+
+    def dense(x, _v=variables):
+        return fwd(_v, x)
+
     primary, fallback = dense, None
     if args.packed:
         from atq_tpu.serve.packed_model import export_packed_collection
 
-        packed = export_packed_collection(ckpt["params"],
-                                          ckpt.get("quant"))
-        primary = jax.jit(lambda x: model.apply(
-            {**variables, "packed": packed}, x, train=False))
+        packed_vars = jax.device_put(dict(
+            variables,
+            packed=export_packed_collection(ckpt["params"],
+                                            ckpt.get("quant"))))
+
+        def primary(x, _v=packed_vars):
+            return fwd(_v, x)
+
         fallback = dense
     import numpy as np
 
@@ -191,11 +203,24 @@ def build_retrieval_routes(args, ckpt, grad_mode):
                   "constants": constants,
                   "batch_stats": ckpt.get("batch_stats", {})}
 
+    # Weights as jit arguments, not closure constants (see
+    # serve/packed_model.py StaticShape). One jitted callable serves both
+    # the dense and quantized variable trees (separate treedefs -> two
+    # compiled programs, zero constant bytes in either).
+    _img_jit = jax.jit(lambda v, im: model.apply(
+        v, im, method=ATQMultimodalRetrieval.encode_image))
+    _txt_jit = jax.jit(lambda v, tok, ln: model.apply(
+        v, tok, ln, method=ATQMultimodalRetrieval.encode_text))
+
     def encoders(variables):
-        img = jax.jit(lambda im: model.apply(
-            variables, im, method=ATQMultimodalRetrieval.encode_image))
-        txt = jax.jit(lambda tok, ln: model.apply(
-            variables, tok, ln, method=ATQMultimodalRetrieval.encode_text))
+        variables = jax.device_put(variables)
+
+        def img(im, _v=variables):
+            return _img_jit(_v, im)
+
+        def txt(tok, ln, _v=variables):
+            return _txt_jit(_v, tok, ln)
+
         return img, txt
 
     img_fwd, txt_fwd = encoders(dense_vars)

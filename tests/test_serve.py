@@ -269,8 +269,7 @@ def test_packed_eval_metrics_match_dense_within_1pt():
     packed = export_packed_collection(v["params"], v.get("quant"))
 
     def all_embeddings(packed_coll):
-        fn = jax.jit(build_embed_fn(model, packed=packed_coll),
-                     static_argnames=("use_ema",))
+        fn = build_embed_fn(model, packed=packed_coll)
         imgs, txts = [], []
         for batch in loader:
             i, t = fn(state, batch, False)
