@@ -4,6 +4,7 @@ from atq_tpu.nn.layers import (
     apply_selective_routing,
     selective_gradient_routing,
     quantized_weight_policy,
+    quantized_weight_and_dots_policy,
 )
 from atq_tpu.nn.attention import (
     TernaryMultiheadAttention,
@@ -22,6 +23,7 @@ __all__ = [
     "apply_selective_routing",
     "selective_gradient_routing",
     "quantized_weight_policy",
+    "quantized_weight_and_dots_policy",
     "TernaryMultiheadAttention",
     "TernaryCrossAttention",
     "ScannedTernaryStack",

@@ -77,6 +77,22 @@ def quantized_weight_policy():
         QUANTIZED_WEIGHT_NAME, THRESHOLD_NAME)
 
 
+def quantized_weight_and_dots_policy():
+    """``quantized_weight_policy`` UNIONED with XLA's
+    ``dots_with_no_batch_dims_saveable``: additionally save every
+    projection-matmul output (qkv/out/FFN — their dots carry no batch
+    dims), so the backward pass recomputes only elementwise work
+    (norms, GELU, softmax) and the batched attention einsums. This
+    trades ~O(tokens x width) bf16 residuals per layer for skipping
+    the full matmul recompute that plain remat pays — the right point
+    on the memory/FLOPs curve whenever the saved residuals fit in HBM
+    (bert-class stacks at the benchmarked batches: ~0.2-0.3 GB/layer).
+    Used by ScannedTernaryStack(remat_policy='save_dots')."""
+    return jax.checkpoint_policies.save_from_both_policies(
+        quantized_weight_policy(),
+        jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+
+
 def _use_fused(fused: Optional[bool], dtype) -> bool:
     """Resolve the layer's fused-matmul flag (ops/fused_linear.py).
 

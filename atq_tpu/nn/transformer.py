@@ -167,8 +167,12 @@ class ScannedTernaryStack(nn.Module):
     # dequantized weights (nn.layers tags them QUANTIZED_WEIGHT_NAME) —
     # the backward pass then reuses the small bf16 weight copies instead
     # of re-running quantize -> mask-blend -> cast per matmul use, which
-    # profiling showed costs ~40% of each big matmul's time. 'full':
-    # plain remat, recompute everything (minimum memory).
+    # profiling showed costs ~40% of each big matmul's time. 'save_dots'
+    # additionally saves every projection-matmul OUTPUT
+    # (dots_with_no_batch_dims_saveable): backward recomputes only
+    # elementwise work and the batched attention einsums — fastest when
+    # the ~O(tokens x width) bf16 residuals per layer fit in HBM.
+    # 'full': plain remat, recompute everything (minimum memory).
     remat_policy: str = "save_quantized"
 
     @nn.compact
@@ -199,6 +203,13 @@ class ScannedTernaryStack(nn.Module):
                 from atq_tpu.nn.layers import quantized_weight_policy
 
                 body = nn.remat(Body, policy=quantized_weight_policy())
+            elif self.remat_policy == "save_dots":
+                from atq_tpu.nn.layers import (
+                    quantized_weight_and_dots_policy,
+                )
+
+                body = nn.remat(
+                    Body, policy=quantized_weight_and_dots_policy())
             else:
                 body = nn.remat(Body)
         else:

@@ -73,7 +73,8 @@ def analytic_step_flops(embed, ffn, heads, layers, seq, batch):
 
 
 def build_step(embed, ffn, heads, layers, seq, batch, remat, scan,
-               use_amp=True, grad_mode="ste"):
+               use_amp=True, grad_mode="ste",
+               remat_policy="save_quantized"):
     import flax.linen as nn
     import jax
     import jax.numpy as jnp
@@ -94,11 +95,25 @@ def build_step(embed, ffn, heads, layers, seq, batch, remat, scan,
                     num_layers=layers, embed_dim=embed, num_heads=heads,
                     dim_feedforward=ffn, dropout=0.0, use_rpb=True,
                     sparsity_target=0.3, grad_mode=grad_mode,
-                    dtype=dtype, remat=remat, name="layers",
+                    dtype=dtype, remat=remat,
+                    remat_policy=remat_policy, name="layers",
                 )(x, deterministic=True)
             else:
-                layer_cls = nn.remat(TernaryTransformerLayer) if remat \
-                    else TernaryTransformerLayer
+                if remat and remat_policy != "full":
+                    from atq_tpu.nn.layers import (
+                        quantized_weight_and_dots_policy,
+                        quantized_weight_policy,
+                    )
+
+                    pol = (quantized_weight_and_dots_policy()
+                           if remat_policy == "save_dots"
+                           else quantized_weight_policy())
+                    layer_cls = nn.remat(TernaryTransformerLayer,
+                                         policy=pol)
+                elif remat:
+                    layer_cls = nn.remat(TernaryTransformerLayer)
+                else:
+                    layer_cls = TernaryTransformerLayer
                 for i in range(layers):
                     x = layer_cls(
                         embed_dim=embed, num_heads=heads,
@@ -147,7 +162,8 @@ def build_step(embed, ffn, heads, layers, seq, batch, remat, scan,
     return step, step_fn, state, n_params
 
 
-def measure(name, spec, use_amp=True, iters=8):
+def measure(name, spec, use_amp=True, iters=8,
+            remat_policy="save_quantized"):
     import jax
 
     from atq_tpu.utils.flops import compiled_flops, mfu
@@ -156,7 +172,7 @@ def measure(name, spec, use_amp=True, iters=8):
     embed, ffn, heads, layers, seq, batch, remat, scan = spec
     step, step_fn, state, n_params = build_step(
         embed, ffn, heads, layers, seq, batch, remat, scan,
-        use_amp=use_amp)
+        use_amp=use_amp, remat_policy=remat_policy)
     dt, state = steady_state_sec_per_step(step_fn, state, (), warmup=2,
                                           iters=iters)
     abstract = jax.tree_util.tree_map(
@@ -169,6 +185,7 @@ def measure(name, spec, use_amp=True, iters=8):
         "config": name, "embed": embed, "ffn": ffn, "heads": heads,
         "layers": layers, "seq": seq, "batch": batch, "remat": remat,
         "scan": scan, "use_amp": use_amp,
+        "remat_policy": remat_policy if (remat and scan) else None,
         "params_millions": n_params / 1e6,
         "ms_per_step": dt * 1000,
         "tokens_per_sec": tokens_per_step / dt,
@@ -191,6 +208,11 @@ def main():
                         help="override the configs' batch size")
     parser.add_argument("--fp32", action="store_true",
                         help="also measure fp32 rows")
+    parser.add_argument("--remat-policy", default="save_quantized",
+                        choices=["save_quantized", "save_dots", "full"],
+                        help="scanned-stack remat policy (save_dots "
+                             "additionally keeps projection-matmul "
+                             "outputs: no matmul recompute in backward)")
     args = parser.parse_args()
 
     names = args.configs or (["ref-scale", "bert-base"] if args.quick
@@ -209,7 +231,8 @@ def main():
                 # name records an error row, it doesn't kill the sweep
                 if args.batch is not None:
                     spec = spec[:5] + (args.batch,) + spec[6:]
-                row = measure(name, spec, use_amp=use_amp)
+                row = measure(name, spec, use_amp=use_amp,
+                              remat_policy=args.remat_policy)
             except Exception as e:
                 row = {"config": name, "use_amp": use_amp, "error": str(e)}
             print(row, flush=True)

@@ -63,6 +63,8 @@ def main():
     parser.add_argument("--out", default="benchmarks/scale_profile.json")
     parser.add_argument("--iters", type=int, default=6)
     parser.add_argument("--top", type=int, default=25)
+    parser.add_argument("--remat-policy", default="save_quantized",
+                        choices=["save_quantized", "save_dots", "full"])
     args = parser.parse_args()
 
     import jax
@@ -71,7 +73,8 @@ def main():
     from atq_tpu.utils.profile_step import profile_fn
 
     spec = scale_mfu.CONFIGS[args.config]
-    step, step_fn, state, n_params = scale_mfu.build_step(*spec)
+    step, step_fn, state, n_params = scale_mfu.build_step(
+        *spec, remat_policy=args.remat_policy)
 
     # steady state before tracing
     holder = {"state": state}
@@ -112,6 +115,7 @@ def main():
     total = sum(cats.values())
     out = {
         "config": args.config,
+        "remat_policy": args.remat_policy,
         "iters": args.iters,
         "total_device_ms_per_step": total,
         "categories": dict(sorted(cats.items(), key=lambda kv: -kv[1])),

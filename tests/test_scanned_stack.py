@@ -114,10 +114,13 @@ def test_scan_rejects_moe():
         enc.init(jax.random.PRNGKey(0), x)
 
 
-def test_remat_policy_equivalence():
-    """save_quantized policy == full remat, outputs AND grads."""
-    import flax.linen as nn
+import pytest
 
+
+@pytest.mark.parametrize("policy", ["save_quantized", "save_dots"])
+def test_remat_policy_equivalence(policy):
+    """Every remat policy == full remat, outputs AND grads (a policy
+    only changes WHAT is saved vs recomputed, never the math)."""
     from atq_tpu.nn.transformer import ScannedTernaryStack
 
     x = jnp.asarray(np.random.RandomState(5).randn(2, 7, EMBED),
@@ -125,7 +128,7 @@ def test_remat_policy_equivalence():
     kw = dict(num_layers=2, embed_dim=EMBED, num_heads=4,
               dim_feedforward=64, dropout=0.0, grad_mode="ste",
               remat=True)
-    saved = ScannedTernaryStack(remat_policy="save_quantized", **kw)
+    saved = ScannedTernaryStack(remat_policy=policy, **kw)
     full = ScannedTernaryStack(remat_policy="full", **kw)
     v = saved.init(jax.random.PRNGKey(0), x)
 
