@@ -92,6 +92,9 @@ class ATQMultimodalRetrieval(nn.Module):
     # (ScannedTernaryStack: depth-independent program + remat with the
     # threshold-saving policy — the production choice for deep stacks;
     # off the parity path, params live under layers/scan/layer)
+    text_attn_impl: str = "einsum"  # 'fused' = the single-block Pallas
+    # attention kernel (ops/fused_attention.py); identical math, faster
+    # at training shapes. Off the parity path by default.
     max_seq_length: int = 50
     dropout: float = 0.1  # reference hard-codes 0.1 throughout; exposed
     # so deterministic comparisons (trajectory parity) can zero it
@@ -115,6 +118,7 @@ class ATQMultimodalRetrieval(nn.Module):
             max_seq_length=self.max_seq_length, grad_mode=self.grad_mode,
             moe_experts=self.text_moe_experts, dropout=self.dropout,
             scan_layers=self.text_scan_layers,
+            attn_impl=self.text_attn_impl,
             dtype=self.compute_dtype,
         )
         self.fusion = MultimodalFusion(

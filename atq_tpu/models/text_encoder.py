@@ -79,6 +79,7 @@ class ATQTextEncoder(nn.Module):
     # applies only to the scanned stack.
     scan_layers: bool = False
     remat_layers: bool = True
+    attn_impl: str = "einsum"  # 'fused' = ops/fused_attention.py kernel
 
     @nn.compact
     def __call__(self, x, src_key_padding_mask=None,
@@ -119,7 +120,8 @@ class ATQTextEncoder(nn.Module):
                 dropout=self.dropout, use_rpb=self.use_rpb,
                 sparsity_target=initial_sparsity,
                 grad_mode=self.grad_mode, dtype=self.dtype,
-                remat=self.remat_layers, name="layers",
+                remat=self.remat_layers, attn_impl=self.attn_impl,
+                name="layers",
             )(h, src_key_padding_mask=src_key_padding_mask,
               deterministic=deterministic)
             h = h.astype(jnp.float32)
@@ -132,7 +134,8 @@ class ATQTextEncoder(nn.Module):
                     use_rpb=self.use_rpb,
                     sparsity_target=initial_sparsity,
                     layer_idx=i, grad_mode=self.grad_mode,
-                    moe_experts=self.moe_experts, name=f"layers_{i}",
+                    moe_experts=self.moe_experts,
+                    attn_impl=self.attn_impl, name=f"layers_{i}",
                 )(h, src_key_padding_mask=src_key_padding_mask,
                   deterministic=deterministic)
 

@@ -79,6 +79,13 @@ class TernaryMultiheadAttention(nn.Module):
     critical_attention: bool = False
     grad_mode: str = "parity"
     dtype: Optional[jnp.dtype] = None  # matmul compute dtype (AMP)
+    # 'einsum' (default, reference-parity path) or 'fused': the
+    # single-block Pallas kernel (ops/fused_attention.py) that keeps the
+    # (S, S) scores in VMEM — measurably faster at training shapes
+    # (S<=512). Identical math (tests/test_fused_attention.py); the
+    # fused path requires attn_mask=None and inactive dropout, and
+    # falls back to einsum otherwise.
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, query, key, value, attn_mask=None,
@@ -118,24 +125,36 @@ class TernaryMultiheadAttention(nn.Module):
         q, k, v = split(q), split(k), split(v)
 
         scale = self.attention_scale or (1.0 / math.sqrt(head_dim))
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        dropout_active = self.dropout > 0.0 and not deterministic
+        if self.attn_impl == "fused" and attn_mask is None \
+                and not dropout_active:
+            from atq_tpu.ops.fused_attention import (
+                fused_attention,
+                padding_bias,
+            )
 
-        if key_padding_mask is not None:
-            key_padding_mask = jnp.asarray(key_padding_mask)
-            if key_padding_mask.ndim == 1:
-                key_padding_mask = lengths_to_padding_mask(
-                    key_padding_mask, scores.shape[-1]
-                )
-            pad = key_padding_mask[:, None, None, :]
-            scores = jnp.where(pad, NEG_INF, scores)
-        if attn_mask is not None:
-            scores = scores + attn_mask
+            bias = padding_bias(key_padding_mask, q.shape[2])
+            out = fused_attention(q, k, v, float(scale), bias)
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
 
-        attn = nn.softmax(scores.astype(jnp.float32), axis=-1)
-        attn = attn.astype(v.dtype)  # back to compute dtype for the matmul
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            if key_padding_mask is not None:
+                key_padding_mask = jnp.asarray(key_padding_mask)
+                if key_padding_mask.ndim == 1:
+                    key_padding_mask = lengths_to_padding_mask(
+                        key_padding_mask, scores.shape[-1]
+                    )
+                pad = key_padding_mask[:, None, None, :]
+                scores = jnp.where(pad, NEG_INF, scores)
+            if attn_mask is not None:
+                scores = scores + attn_mask
 
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            attn = nn.softmax(scores.astype(jnp.float32), axis=-1)
+            attn = attn.astype(v.dtype)  # compute dtype for the matmul
+            attn = nn.Dropout(self.dropout)(attn,
+                                            deterministic=deterministic)
+
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(batch, -1, self.embed_dim)
 
         out = _proj(self.use_rpb, self.embed_dim, precision_ratio * 2,

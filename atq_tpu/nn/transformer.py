@@ -30,6 +30,7 @@ class TernaryTransformerLayer(nn.Module):
     layer_idx: int = 0
     grad_mode: str = "parity"
     dtype: Optional[jnp.dtype] = None  # matmul compute dtype (AMP)
+    attn_impl: str = "einsum"  # 'fused' = ops/fused_attention.py kernel
     # Framework extension (0 = reference-parity dense FFN): replace the
     # FFN with a ternary-expert MoE (atq_tpu/parallel/moe.py). Expert
     # planes live on a leading E axis — shard it over an 'expert' mesh
@@ -57,7 +58,8 @@ class TernaryTransformerLayer(nn.Module):
             embed_dim=self.embed_dim, num_heads=self.num_heads,
             dropout=self.dropout, use_rpb=self.use_rpb,
             sparsity_target=initial_sparsity, critical_attention=is_critical,
-            grad_mode=self.grad_mode, dtype=self.dtype, name="self_attn",
+            grad_mode=self.grad_mode, dtype=self.dtype,
+            attn_impl=self.attn_impl, name="self_attn",
         )(src2, src2, src2, attn_mask=src_mask,
           key_padding_mask=src_key_padding_mask, deterministic=deterministic)
         src = src + nn.Dropout(self.dropout)(
@@ -162,6 +164,7 @@ class ScannedTernaryStack(nn.Module):
     sparsity_target: float = 0.3
     grad_mode: str = "parity"
     dtype: Optional[jnp.dtype] = None
+    attn_impl: str = "einsum"  # 'fused' = ops/fused_attention.py kernel
     remat: bool = True
     # 'save_quantized' (default): remat everything EXCEPT the finished
     # dequantized weights (nn.layers tags them QUANTIZED_WEIGHT_NAME) —
@@ -190,7 +193,8 @@ class ScannedTernaryStack(nn.Module):
                     dropout=outer.dropout, use_rpb=outer.use_rpb,
                     sparsity_target=outer.sparsity_target,
                     layer_idx=0, grad_mode=outer.grad_mode,
-                    dtype=outer.dtype, name="layer",
+                    dtype=outer.dtype, attn_impl=outer.attn_impl,
+                    name="layer",
                 )(carry, src_mask=src_mask,
                   src_key_padding_mask=src_key_padding_mask,
                   deterministic=deterministic)

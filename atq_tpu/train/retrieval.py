@@ -123,6 +123,7 @@ class RetrievalConfig:
     # captions/image (the reference defines the loss but never wires it)
     moe_experts: int = 0  # >0: ternary-expert MoE FFN in the text encoder
     scan_layers: bool = False  # nn.scan text stack (ScannedTernaryStack)
+    attn_impl: str = "einsum"  # 'fused': single-block Pallas attention
     # (EP capability; adds the load-balance aux loss below)
     moe_aux_weight: float = 0.01
     grad_accum_steps: int = 1  # >1: GradCache-style two-pass accumulation.
@@ -675,6 +676,7 @@ def train_retrieval(cfg: RetrievalConfig, loaders=None, verbose=True):
         grad_mode=cfg.grad_mode, max_seq_length=cfg.max_seq_length,
         text_moe_experts=cfg.moe_experts,
         text_scan_layers=cfg.scan_layers,
+        text_attn_impl=cfg.attn_impl,
         # --use_amp with torch-autocast semantics: f32 master params and
         # quantizer thresholds; matmuls/convs compute in bf16.
         compute_dtype=jnp.bfloat16 if cfg.use_amp else None,

@@ -74,7 +74,7 @@ def analytic_step_flops(embed, ffn, heads, layers, seq, batch):
 
 def build_step(embed, ffn, heads, layers, seq, batch, remat, scan,
                use_amp=True, grad_mode="ste",
-               remat_policy="save_quantized"):
+               remat_policy="save_quantized", attn_impl="einsum"):
     import flax.linen as nn
     import jax
     import jax.numpy as jnp
@@ -96,7 +96,8 @@ def build_step(embed, ffn, heads, layers, seq, batch, remat, scan,
                     dim_feedforward=ffn, dropout=0.0, use_rpb=True,
                     sparsity_target=0.3, grad_mode=grad_mode,
                     dtype=dtype, remat=remat,
-                    remat_policy=remat_policy, name="layers",
+                    remat_policy=remat_policy, attn_impl=attn_impl,
+                    name="layers",
                 )(x, deterministic=True)
             else:
                 if remat and remat_policy != "full":
@@ -163,7 +164,7 @@ def build_step(embed, ffn, heads, layers, seq, batch, remat, scan,
 
 
 def measure(name, spec, use_amp=True, iters=8,
-            remat_policy="save_quantized"):
+            remat_policy="save_quantized", attn_impl="einsum"):
     import jax
 
     from atq_tpu.utils.flops import compiled_flops, mfu
@@ -172,7 +173,7 @@ def measure(name, spec, use_amp=True, iters=8,
     embed, ffn, heads, layers, seq, batch, remat, scan = spec
     step, step_fn, state, n_params = build_step(
         embed, ffn, heads, layers, seq, batch, remat, scan,
-        use_amp=use_amp, remat_policy=remat_policy)
+        use_amp=use_amp, remat_policy=remat_policy, attn_impl=attn_impl)
     dt, state = steady_state_sec_per_step(step_fn, state, (), warmup=2,
                                           iters=iters)
     abstract = jax.tree_util.tree_map(
@@ -186,6 +187,7 @@ def measure(name, spec, use_amp=True, iters=8,
         "layers": layers, "seq": seq, "batch": batch, "remat": remat,
         "scan": scan, "use_amp": use_amp,
         "remat_policy": remat_policy if (remat and scan) else None,
+        "attn_impl": attn_impl,
         "params_millions": n_params / 1e6,
         "ms_per_step": dt * 1000,
         "tokens_per_sec": tokens_per_step / dt,
@@ -208,6 +210,11 @@ def main():
                         help="override the configs' batch size")
     parser.add_argument("--fp32", action="store_true",
                         help="also measure fp32 rows")
+    parser.add_argument("--attn", default="einsum",
+                        choices=["einsum", "fused"],
+                        help="attention implementation (fused = the "
+                             "single-block VMEM-resident Pallas kernel, "
+                             "ops/fused_attention.py)")
     parser.add_argument("--remat-policy", default="save_quantized",
                         choices=["save_quantized", "save_dots", "full"],
                         help="scanned-stack remat policy (save_dots "
@@ -232,7 +239,8 @@ def main():
                 if args.batch is not None:
                     spec = spec[:5] + (args.batch,) + spec[6:]
                 row = measure(name, spec, use_amp=use_amp,
-                              remat_policy=args.remat_policy)
+                              remat_policy=args.remat_policy,
+                              attn_impl=args.attn)
             except Exception as e:
                 row = {"config": name, "use_amp": use_amp, "error": str(e)}
             print(row, flush=True)

@@ -104,6 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--moe_experts", type=int, default=0,
                         help="Ternary-expert MoE FFN in the text encoder "
                              "(0 = reference-parity dense FFN)")
+    parser.add_argument("--attn_impl", type=str, default="einsum",
+                        choices=["einsum", "fused"],
+                        help="Text-stack attention implementation; "
+                             "'fused' keeps the (S,S) scores in VMEM "
+                             "(ops/fused_attention.py) — identical math, "
+                             "faster at training shapes")
     parser.add_argument("--scan_layers", action="store_true",
                         help="Build the text stack with nn.scan "
                              "(depth-independent compiled program + "
