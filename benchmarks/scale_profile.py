@@ -65,6 +65,8 @@ def main():
     parser.add_argument("--top", type=int, default=25)
     parser.add_argument("--remat-policy", default="save_quantized",
                         choices=["save_quantized", "save_dots", "full"])
+    parser.add_argument("--attn", default="einsum",
+                        choices=["einsum", "fused"])
     args = parser.parse_args()
 
     import jax
@@ -74,7 +76,7 @@ def main():
 
     spec = scale_mfu.CONFIGS[args.config]
     step, step_fn, state, n_params = scale_mfu.build_step(
-        *spec, remat_policy=args.remat_policy)
+        *spec, remat_policy=args.remat_policy, attn_impl=args.attn)
 
     # steady state before tracing
     holder = {"state": state}
@@ -116,6 +118,7 @@ def main():
     out = {
         "config": args.config,
         "remat_policy": args.remat_policy,
+        "attn_impl": args.attn,
         "iters": args.iters,
         "total_device_ms_per_step": total,
         "categories": dict(sorted(cats.items(), key=lambda kv: -kv[1])),

@@ -146,6 +146,40 @@ def main():
     got = packed_linear_apply(sparse, xs)
     check("serve_sparse_correction vs RPB forward", got, want, rel=2e-2)
 
+    # Fused single-block attention (ops/fused_attention.py) vs the
+    # einsum-pair oracle, fwd and grads, with a lengths padding mask.
+    from atq_tpu.ops.fused_attention import fused_attention, padding_bias
+
+    B, H, S, D = 4, 4, 256, 64
+    q = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
+    kk = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
+    vv = jnp.asarray(rng.randn(B, H, S, D), jnp.bfloat16)
+    lengths = jnp.asarray([S, 100, 7, S])
+    bias = padding_bias(lengths, S)
+    scale_a = 1.0 / np.sqrt(D)
+
+    def oracle(q, k, v):
+        sc = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale_a
+        sc = sc + bias
+        p = jax.nn.softmax(sc.astype(jnp.float32), -1).astype(v.dtype)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    got = jax.jit(lambda q, k, v: fused_attention(q, k, v, scale_a,
+                                                  bias))(q, kk, vv)
+    check("fused_attention fwd B4 H4 S256 D64", got, oracle(q, kk, vv))
+
+    def loss_f(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, scale_a,
+                                       bias).astype(jnp.float32) ** 2)
+
+    def loss_o(q, k, v):
+        return jnp.sum(oracle(q, k, v).astype(jnp.float32) ** 2)
+
+    gf = jax.jit(jax.grad(loss_f, argnums=(0, 1, 2)))(q, kk, vv)
+    go = jax.jit(jax.grad(loss_o, argnums=(0, 1, 2)))(q, kk, vv)
+    for name, a, b in zip("qkv", gf, go):
+        check(f"fused_attention d{name}", a, b, rel=2e-2)
+
     print()
     if FAILURES:
         print(f"{len(FAILURES)} FAILED: {FAILURES}")
