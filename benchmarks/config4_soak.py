@@ -89,6 +89,16 @@ def _sub(code: str, timeout: float, extra_env=None) -> tuple:
 
 
 def main():
+    # Kill-switch: each config-4 crash wedges the tunneled chip for 1-2 h
+    # (BENCHMARKS.md round-3/4 chase), so soaking is destructive when the
+    # chip is needed for other measurements. Touching this file makes any
+    # already-queued soak invocation exit cleanly instead.
+    skip = os.environ.get("ATQ_SOAK_SKIP_FILE", "/tmp/atq_skip_soak")
+    if os.path.exists(skip):
+        print(f"soak skipped: {skip} exists (destructive on this "
+              "runtime; see BENCHMARKS.md config-4 chase)", flush=True)
+        return
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--out", type=str,

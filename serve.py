@@ -9,10 +9,17 @@ optionally exports every quantized layer to 2-bit planes
 :class:`BatchServer` (concurrent HTTP requests batch onto the TPU
 automatically), and serves JSON over stdlib HTTP.
 
-With ``--packed`` the dense forward is installed as the engine's
-``fallback_fn``: a batch whose packed dispatch fails (e.g. a crashed
-TPU worker) is re-served dense, and a repeatedly-failing packed program
-is latched off — see atq_tpu/serve/engine.py.
+The default retrieval configuration serves the ResNet backbone from
+per-channel int8 weights with BatchNorm folded (``--int8_trunk``, on by
+default): the safe-and-faster config on this runtime — 1.22-1.28x over
+dense at serving batches, ~1.1e-4 embedding drift, and it has never
+crashed the TPU worker, unlike the 2-bit packed program
+(BENCHMARKS.md config-4 chase). The 2-bit ``--packed`` path stays
+opt-in for memory-bound deployments. With either quantized primary the
+dense forward is installed as the engine's ``fallback_fn``: a batch
+whose quantized dispatch fails (e.g. a crashed TPU worker) is re-served
+dense, and a repeatedly-failing primary is latched off — see
+atq_tpu/serve/engine.py.
 
 Endpoints:
   classification: POST /predict {"image": 28x28[x1], "normalize": bool}
@@ -70,11 +77,21 @@ def build_parser():
     p.add_argument("--packed", action="store_true",
                    help="serve from exported 2-bit planes with the dense "
                         "forward as the engine fallback")
-    p.add_argument("--int8_trunk", action="store_true",
+    p.add_argument("--int8_trunk", action="store_true", default=True,
                    help="(retrieval) serve the ResNet backbone from "
                         "per-channel int8 weights with BatchNorm folded; "
                         "composes with --packed (fully quantized image "
-                        "tower), dense forward stays the fallback")
+                        "tower), dense forward stays the fallback. ON by "
+                        "default: it is the safe-and-faster serving "
+                        "config on this runtime (1.22-1.28x over dense "
+                        "at batch >=32, ~1.1e-4 embedding drift, never "
+                        "crashed the worker - BENCHMARKS.md config-4 "
+                        "chase); batch-1 latency is ~0.75x dense, so "
+                        "latency-critical single-request deployments "
+                        "may prefer --no_int8_trunk")
+    p.add_argument("--no_int8_trunk", dest="int8_trunk",
+                   action="store_false",
+                   help="serve the ResNet backbone dense (fp32/bf16)")
     p.add_argument("--vocab_file", type=str, default=None,
                    help="vocab.json (retrieval); defaults to the one "
                         "next to the checkpoint")

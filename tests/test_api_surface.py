@@ -150,3 +150,20 @@ def test_driver_flag_parity(driver):
     ours = set(mod.build_parser()._option_string_actions)
     missing = ref_flags - ours
     assert not missing, f"{driver} missing reference flags: {sorted(missing)}"
+
+
+def test_serve_default_retrieval_config_is_int8_trunk():
+    """The default serving configuration must be the safe-and-faster one
+    (BENCHMARKS.md config-4 chase): int8 trunk ON, crash-prone 2-bit
+    packed path opt-in, with --no_int8_trunk as the dense opt-out."""
+    spec = importlib.util.spec_from_file_location(
+        "_driver_serve", pathlib.Path(__file__).parent.parent / "serve.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    base = ["--task", "retrieval", "--checkpoint", "x.npz"]
+    args = mod.build_parser().parse_args(base)
+    assert args.int8_trunk is True
+    assert args.packed is False
+    args = mod.build_parser().parse_args(base + ["--no_int8_trunk"])
+    assert args.int8_trunk is False
