@@ -31,6 +31,26 @@ from atq_tpu.nn.layers import (
 
 NEG_INF = float("-inf")
 
+_warned_fused_dropout = False
+
+
+def _warn_fused_dropout_fallback():
+    """One-time notice that attn_impl='fused' is running the einsum path
+    because attention dropout is active (the fused kernel has no dropout;
+    benchmarks set dropout=0.0 so their fused numbers are real)."""
+    global _warned_fused_dropout
+    if not _warned_fused_dropout:
+        _warned_fused_dropout = True
+        import warnings
+
+        warnings.warn(
+            "attn_impl='fused' requested but attention dropout is active "
+            "(training with dropout > 0): falling back to the einsum "
+            "attention path for these steps. Set dropout=0.0 (or run "
+            "deterministically) to use the fused kernel.",
+            stacklevel=2,
+        )
+
 
 def _norm(name=None):
     # Computation pinned to f32: under bf16 AMP torch autocast runs
@@ -126,14 +146,19 @@ class TernaryMultiheadAttention(nn.Module):
 
         scale = self.attention_scale or (1.0 / math.sqrt(head_dim))
         dropout_active = self.dropout > 0.0 and not deterministic
+        if self.attn_impl == "fused" and dropout_active:
+            _warn_fused_dropout_fallback()
         if self.attn_impl == "fused" and attn_mask is None \
-                and not dropout_active:
+                and not dropout_active and q.shape[2] == k.shape[2]:
             from atq_tpu.ops.fused_attention import (
                 fused_attention,
                 padding_bias,
             )
 
-            bias = padding_bias(key_padding_mask, q.shape[2])
+            # The bias masks KEYS: size it by the key length (identical
+            # to the query length on this guarded self-attention branch,
+            # but k.shape is the semantically right extent).
+            bias = padding_bias(key_padding_mask, k.shape[2])
             out = fused_attention(q, k, v, float(scale), bias)
         else:
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale

@@ -88,9 +88,11 @@ def steady_state_step_stats(step_fn: Callable, state,
     work, synced once via ``device_get``, and pays the measured
     roundtrip floor; the reported number is the MEDIAN with the IQR as
     the dispersion bar. Returns ``(stats, final_state)``."""
+    out = None
     for _ in range(warmup):
         state, out = step_fn(state, *args)
-    sync_tree(out)
+    if out is not None:  # warmup=0: nothing to sync yet
+        sync_tree(out)
 
     def timed(n: int) -> float:
         nonlocal state

@@ -109,7 +109,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Text-stack attention implementation; "
                              "'fused' keeps the (S,S) scores in VMEM "
                              "(ops/fused_attention.py) — identical math, "
-                             "faster at training shapes")
+                             "faster at training shapes. Requires "
+                             "attention dropout 0.0: with dropout active "
+                             "the fused kernel cannot run and training "
+                             "falls back to einsum (a one-time warning "
+                             "is emitted)")
     parser.add_argument("--scan_layers", action="store_true",
                         help="Build the text stack with nn.scan "
                              "(depth-independent compiled program + "
