@@ -423,21 +423,64 @@ class Flickr8kLoader:
             yield batch
 
 
+def active_tokenizer_variant() -> str:
+    """Which tokenizer :func:`tokenize` would use right now:
+    ``'split'`` / ``'nltk-punkt'`` / ``'vendored-ptb'``. Stamped into saved
+    vocab files so a re-eval can detect a tokenization-environment change
+    (a vocabulary rebuilt under a different tokenizer silently yields
+    different token ids and wrong metrics)."""
+    global _USE_NLTK
+    if os.environ.get("ATQ_SPLIT_TOKENIZER", "0") == "1":
+        return "split"
+    if _USE_NLTK is None:
+        _USE_NLTK = _nltk_available()
+    return "nltk-punkt" if _USE_NLTK else "vendored-ptb"
+
+
+# Reserved metadata key inside saved vocab JSON (not a token; stripped on
+# load). nltk-punkt and vendored-ptb are token-identical on the cleaned
+# caption domain (tests/test_tokenizer_parity.py), so only 'split' vs the
+# other two is a REAL mismatch.
+VOCAB_TOKENIZER_KEY = "__tokenizer__"
+_PTB_COMPATIBLE = {"nltk-punkt", "vendored-ptb"}
+
+
+def tokenizer_variants_compatible(a: str, b: str) -> bool:
+    return a == b or (a in _PTB_COMPATIBLE and b in _PTB_COMPATIBLE)
+
+
+def read_vocab_tokenizer(path: str) -> Optional[str]:
+    """The tokenizer variant stamped into a saved vocab file, or None for
+    pre-round-5 files saved before stamping existed."""
+    import json
+
+    try:
+        with open(path) as f:
+            return json.load(f).get(VOCAB_TOKENIZER_KEY)
+    except Exception:
+        return None
+
+
 def load_vocab_file(path: str) -> Dict[str, int]:
     """Load a recorded word_to_idx vocabulary (JSON) — the escape hatch for
     exact vocab/checkpoint parity with a reference-trained run whose
-    tokenization environment (e.g. NLTK punkt availability) differs."""
+    tokenization environment (e.g. NLTK punkt availability) differs.
+    Metadata keys (``__tokenizer__``) are stripped; use
+    :func:`read_vocab_tokenizer` to inspect them."""
     import json
 
     with open(path) as f:
-        return {k: int(v) for k, v in json.load(f).items()}
+        return {k: int(v) for k, v in json.load(f).items()
+                if not k.startswith("__")}
 
 
 def save_vocab_file(word_to_idx: Dict[str, int], path: str):
     import json
 
+    record = dict(word_to_idx)
+    record[VOCAB_TOKENIZER_KEY] = active_tokenizer_variant()
     with open(path, "w") as f:
-        json.dump(word_to_idx, f)
+        json.dump(record, f)
 
 
 def prepare_flickr8k_dataloaders(batch_size: int = 32, image_size: int = 224,

@@ -113,6 +113,44 @@ def bench_tpu() -> float:
     return BATCH / stats["sec_per_step_median"]
 
 
+# Same-session calibration anchor (VERDICT round 4, item 4): the measured
+# calibration_ms of the session that set the round-4/5 headline protocol.
+# Cross-session device rate over the axon tunnel disperses up to ~2.8x
+# (BENCH_r04.json 284.7k imgs/s vs the same-protocol rehearsal's 102.0k);
+# normalizing every headline by (anchor / this session's calibration)
+# makes round-over-round comparisons legible. Anchor measured 2026-08-20
+# (benchmarks/r5/calibration_anchor.json).
+CALIBRATION_ANCHOR_MS = 11.19
+
+
+def bench_calibration() -> float:
+    """Fixed known workload, same session, same protocol: 128 chained
+    (2048,2048) bf16 matmul+tanh iterations under one jit (~2.2 TFLOP/call,
+    ~11 ms at the chip's ceiling — big enough to be compute-bound, small
+    enough to be free). Returns ms per call (median window slope)."""
+    import jax
+    import jax.numpy as jnp
+
+    from atq_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    @jax.jit
+    def work(x, w):
+        def body(c, _):
+            return jnp.tanh(c @ w), None
+        y, _ = jax.lax.scan(body, x, None, length=128)
+        return y
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2048, 2048) * 0.01, jnp.bfloat16)
+    w = jnp.asarray(rng.randn(2048, 2048) / 45.0, jnp.bfloat16)
+
+    from atq_tpu.utils.timing import sec_per_call
+
+    return sec_per_call(work, x, w, warmup=2, iters=8, windows=5) * 1000
+
+
 def bench_torch_cpu() -> float:
     """Equivalent torch-CPU training step (same architectures, same losses)
     as the reference baseline measurement."""
@@ -303,6 +341,17 @@ PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "benchmarks", "bench_partial.json")
 
 
+def _reset_partial():
+    """Truncate the partial file at run start: phase results from a
+    PREVIOUS run persisting into this one can be misread as current
+    (ADVICE.md round 4). The run id stamps every later merge."""
+    try:
+        with open(PARTIAL_PATH, "w") as f:
+            json.dump({"_run_id": time.strftime("%Y-%m-%dT%H:%M:%S")}, f)
+    except Exception:
+        pass
+
+
 def _write_partial(phase, result):
     """Persist each phase's result as it lands: a later phase timing out
     (or wedging the chip) must not lose the numbers already measured."""
@@ -371,7 +420,31 @@ def _scale_mfu_note():
     return None
 
 
+def _ref_measured_imgs_per_sec():
+    """The actual reference train.py's measured Fashion-MNIST epoch rate
+    (benchmarks/ref_timing/ref_train_timing.json: one bounded epoch of
+    /root/reference/train.py on torch-CPU via a torchvision shim)."""
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "ref_timing",
+                            "ref_train_timing.json")
+        with open(path) as f:
+            rec = json.load(f)
+        v = float(rec["imgs_per_sec"])
+        return v if v > 0 else None
+    except Exception:
+        return None
+
+
 def main():
+    _reset_partial()
+    # Same-session calibration first: a fixed workload whose anchor value
+    # is pinned in CALIBRATION_ANCHOR_MS, so every headline can be read
+    # raw AND probe-normalized (cross-session rate dispersion is ~2.8x).
+    res_c = _run_phase("calibrate", attempts=2)
+    calibration_ms = res_c.get("calibration_ms") if res_c else None
+    session_speed = (CALIBRATION_ANCHOR_MS / calibration_ms
+                     if calibration_ms else None)
     # Wedges of several hours were observed on this runtime; give the
     # first phase three spaced attempts (~40 min) before giving up.
     res_t = _run_phase("tpu", attempts=3)
@@ -395,10 +468,23 @@ def main():
         return
 
     tpu_throughput = res_t["throughput"] if res_t else float("nan")
-    vs_baseline = (tpu_throughput / torch_throughput
-                   if np.isfinite(tpu_throughput)
-                   and np.isfinite(torch_throughput) and torch_throughput > 0
-                   else None)
+    ref_measured = _ref_measured_imgs_per_sec()
+    vs_torch_inprocess = (tpu_throughput / torch_throughput
+                          if np.isfinite(tpu_throughput)
+                          and np.isfinite(torch_throughput)
+                          and torch_throughput > 0 else None)
+    # Primary denominator: the ACTUAL reference train.py, measured
+    # (round-5 fix; the in-process torch step stays as a secondary key).
+    if ref_measured and np.isfinite(tpu_throughput):
+        vs_baseline = tpu_throughput / ref_measured
+        vs_baseline_kind = ("actual reference train.py, measured "
+                            "(one bounded Fashion-MNIST epoch, torch-CPU, "
+                            "benchmarks/ref_timing/ref_train_timing.json: "
+                            f"{ref_measured:.1f} imgs/s)")
+    else:
+        vs_baseline = vs_torch_inprocess
+        vs_baseline_kind = ("in-process torch-CPU equivalent train step "
+                            "(not the actual reference train.py)")
     pairs_per_sec, infer_ms = (
         (res_r["pairs_per_sec"], res_r["infer_ms"]) if res_r
         else (float("nan"), float("nan")))
@@ -414,14 +500,23 @@ def main():
         "value": _r(tpu_throughput, 1),
         "unit": "imgs/sec/chip",
         "vs_baseline": _r(vs_baseline, 2),
-        "vs_baseline_kind": "in-process torch-CPU equivalent train step "
-                            "(not the actual reference train.py)",
+        "vs_baseline_kind": vs_baseline_kind,
+        "vs_torch_inprocess_step": _r(vs_torch_inprocess, 2),
+        "calibration_ms": _r(calibration_ms, 3),
+        "calibration_anchor_ms": CALIBRATION_ANCHOR_MS,
+        "session_speed_vs_anchor": _r(session_speed, 3),
+        "value_anchor_normalized": _r(
+            tpu_throughput / session_speed
+            if session_speed and np.isfinite(tpu_throughput) else None, 1),
         "tuned_classifier_note": "batch 512 measured 342.5k imgs/sec "
                                  "(2.4x recipe batch; sweep recorded in "
                                  "benchmarks/BENCHMARKS.md, not "
                                  "re-measured here to keep the phase "
                                  "inside its watchdog)",
         "retrieval_train_pairs_per_sec": _r(pairs_per_sec, 1),
+        "retrieval_pairs_anchor_normalized": _r(
+            pairs_per_sec / session_speed
+            if session_speed and np.isfinite(pairs_per_sec) else None, 1),
         "retrieval_tuned_pairs_per_sec": _r(
             res_rt.get("tuned_pairs_per_sec", float("nan"))
             if res_rt else float("nan"), 1),
@@ -447,11 +542,14 @@ def main():
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase",
-                    choices=["tpu", "retrieval", "retrieval_tuned"],
+                    choices=["calibrate", "tpu", "retrieval",
+                             "retrieval_tuned"],
                     default=None,
                     help="internal: run one TPU phase and print its JSON")
     a = ap.parse_args()
-    if a.phase == "tpu":
+    if a.phase == "calibrate":
+        print(json.dumps({"calibration_ms": bench_calibration()}))
+    elif a.phase == "tpu":
         # One measurement only: a second (tuned batch-512) measurement
         # in this phase pushed it past the 720 s watchdog on a cold
         # cache, and the watchdog's SIGKILL mid-device-work wedged the

@@ -10,6 +10,7 @@ mnist/fashion_mnist, Recall@K for flickr8k retrieval.
 import argparse
 import json
 import os
+import warnings
 
 from atq_tpu.utils.platform import apply_platform_env
 
@@ -159,6 +160,41 @@ def main(argv=None):
             candidate = os.path.join(os.path.dirname(args.checkpoint),
                                      "vocab.json")
             vocab_file = candidate if os.path.exists(candidate) else None
+        # Tokenizer-variant guard (ADVICE round 4): token ids are only
+        # meaningful under the tokenizer that built the vocabulary.
+        from atq_tpu.data.flickr8k import (
+            active_tokenizer_variant,
+            read_vocab_tokenizer,
+            tokenizer_variants_compatible,
+        )
+
+        active_tok = active_tokenizer_variant()
+        if vocab_file is None:
+            warnings.warn(
+                "no vocab.json found next to the checkpoint and no "
+                "--vocab_file given: rebuilding the vocabulary from the "
+                f"train captions under tokenizer '{active_tok}'. If the "
+                "checkpoint was trained under a different tokenizer "
+                "(e.g. pre-round-5 .split() runs), token ids will NOT "
+                "match and the metrics below are meaningless — pass the "
+                "training run's vocab.json.")
+        else:
+            saved_tok = read_vocab_tokenizer(vocab_file)
+            if saved_tok is None:
+                warnings.warn(
+                    f"{vocab_file} carries no tokenizer stamp (saved "
+                    "before round 5). Forcing its exact token ids is "
+                    "still correct; just ensure the checkpoint really "
+                    "was trained with this vocabulary.")
+            elif not tokenizer_variants_compatible(saved_tok, active_tok):
+                raise SystemExit(
+                    f"vocab {vocab_file} was built with tokenizer "
+                    f"'{saved_tok}' but the active tokenizer is "
+                    f"'{active_tok}' (ATQ_SPLIT_TOKENIZER="
+                    f"{os.environ.get('ATQ_SPLIT_TOKENIZER', '0')}). "
+                    "Evaluating with mismatched tokenization produces "
+                    "silently wrong metrics; align the environment "
+                    "before re-running.")
         _, val_loader, test_loader, vocab_size, _ = (
             prepare_flickr8k_dataloaders(
                 batch_size=args.batch_size, image_size=args.image_size,

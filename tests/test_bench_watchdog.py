@@ -79,6 +79,8 @@ def test_main_partial_result_keeps_tpu_number(monkeypatch, capsys):
     def fake_phase(phase, attempts=2):
         if phase == "tpu":
             return {"throughput": 1000.0}
+        if phase == "calibrate":
+            return {"calibration_ms": bench.CALIBRATION_ANCHOR_MS * 2}
         return None  # retrieval wedged
 
     monkeypatch.setattr(bench, "_run_phase", fake_phase)
@@ -86,6 +88,34 @@ def test_main_partial_result_keeps_tpu_number(monkeypatch, capsys):
     bench.main()
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["value"] == 1000.0
-    assert rec["vs_baseline"] == 10.0
+    # Round 5: vs_baseline divides by the MEASURED reference train.py
+    # rate (benchmarks/ref_timing/ref_train_timing.json); the in-process
+    # torch step remains as a secondary key.
+    ref = bench._ref_measured_imgs_per_sec()
+    assert ref is not None and rec["vs_baseline"] == round(1000.0 / ref, 2)
+    assert "actual reference train.py" in rec["vs_baseline_kind"]
+    assert rec["vs_torch_inprocess_step"] == 10.0
+    # Calibration: this fake session ran 2x SLOWER than the anchor, so
+    # the anchor-normalized value is 2x the raw one.
+    assert rec["session_speed_vs_anchor"] == 0.5
+    assert rec["value_anchor_normalized"] == 2000.0
     assert rec["retrieval_train_pairs_per_sec"] is None
     assert "retrieval" in rec["error"]
+
+
+def test_main_survives_missing_calibration(monkeypatch, capsys):
+    def fake_phase(phase, attempts=2):
+        if phase == "tpu":
+            return {"throughput": 1000.0}
+        if phase == "retrieval":
+            return {"pairs_per_sec": 10.0, "infer_ms": 1.0}
+        return None  # calibrate + tuned wedged
+
+    monkeypatch.setattr(bench, "_run_phase", fake_phase)
+    monkeypatch.setattr(bench, "bench_torch_cpu", lambda: 100.0)
+    bench.main()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] == 1000.0
+    assert rec["calibration_ms"] is None
+    assert rec["session_speed_vs_anchor"] is None
+    assert rec["value_anchor_normalized"] is None

@@ -180,6 +180,40 @@ def test_recorded_vocab_escape_hatch(tmp_path):
     assert load_vocab_file(str(path)) == vocab
 
 
+def test_vocab_tokenizer_stamp(tmp_path, monkeypatch):
+    """Saved vocab files carry the tokenizer variant that built them
+    (ADVICE round 4): the stamp round-trips, is stripped from the loaded
+    vocab, and the compatibility rule treats nltk-punkt/vendored-ptb as
+    interchangeable (token-identical on the caption domain) while 'split'
+    is a real mismatch."""
+    from atq_tpu.data.flickr8k import (
+        active_tokenizer_variant,
+        load_vocab_file,
+        read_vocab_tokenizer,
+        save_vocab_file,
+        tokenizer_variants_compatible,
+    )
+
+    vocab = {"<PAD>": 0, "dog": 4}
+    path = tmp_path / "vocab.json"
+    save_vocab_file(vocab, str(path))
+    assert load_vocab_file(str(path)) == vocab  # stamp stripped
+    stamp = read_vocab_tokenizer(str(path))
+    assert stamp == active_tokenizer_variant()
+    assert stamp in ("nltk-punkt", "vendored-ptb", "split")
+
+    monkeypatch.setenv("ATQ_SPLIT_TOKENIZER", "1")
+    assert active_tokenizer_variant() == "split"
+    save_vocab_file(vocab, str(path))
+    assert read_vocab_tokenizer(str(path)) == "split"
+
+    assert tokenizer_variants_compatible("nltk-punkt", "vendored-ptb")
+    assert not tokenizer_variants_compatible("split", "vendored-ptb")
+    # Pre-round-5 files carry no stamp.
+    (tmp_path / "old.json").write_text('{"dog": 4}')
+    assert read_vocab_tokenizer(str(tmp_path / "old.json")) is None
+
+
 def test_sent_split_identity_on_captions():
     for vec in VECTORS:
         if vec["cleaned"].strip():
