@@ -131,6 +131,87 @@ def ternary_threshold(
     return checkpoint_name(thr, THRESHOLD_NAME)
 
 
+def _order_statistic_f32_batched(flat2d: jax.Array, ranks: jax.Array):
+    """Batched :func:`_order_statistic_f32`: ``flat2d`` is (L, n)
+    non-negative float32, ``ranks`` is (L,) int32; returns the (L,) order
+    statistics. All L bisections share the same 31 rounds — each round is
+    one fused compare+sum pass over the whole (L, n) block, so batching
+    over a stacked weight axis costs the same bandwidth as one layer's
+    bisection repeated, with none of the per-layer launch overhead."""
+    bits = jax.lax.bitcast_convert_type(flat2d, jnp.uint32)
+    target = (ranks + 1).astype(jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // jnp.uint32(2)
+        counts = jnp.sum((bits <= mid[:, None]).astype(jnp.int32), axis=1)
+        ge = counts >= target
+        return (jnp.where(ge, lo, mid + jnp.uint32(1)),
+                jnp.where(ge, mid, hi))
+
+    lo = jnp.zeros(flat2d.shape[0], jnp.uint32)
+    hi = jnp.full(flat2d.shape[0], 0x7F800000, jnp.uint32)
+    lo, hi = jax.lax.fori_loop(0, 31, body, (lo, hi))
+    return jax.lax.bitcast_convert_type(hi, jnp.float32)
+
+
+def ternary_threshold_batched(
+    weights: jax.Array,
+    threshold_factor: float = 0.05,
+    sparsity_target=0.3,
+) -> jax.Array:
+    """Per-layer thresholds for a STACKED weight tensor.
+
+    ``weights`` is (L, ...) — L independent weight matrices on a leading
+    axis (the ``nn.scan`` parameter layout). Returns (L,) thresholds,
+    each exactly equal to ``ternary_threshold(weights[l])`` (the bisection
+    is bit-exact; the hoisted-quantization path in
+    nn/transformer.ScannedTernaryStack computes all layers' thresholds in
+    one batched pass instead of one launch per layer per scan iteration).
+    ``sparsity_target`` may be a scalar or an (L,) vector (the RPB
+    per-layer mutable sparsity)."""
+    dtype = weights.dtype
+    lead = weights.shape[0]
+    flat = jnp.abs(weights).reshape(lead, -1)
+    n = flat.shape[1]  # static under jit
+
+    st = jnp.broadcast_to(
+        jnp.asarray(sparsity_target, jnp.float32), (lead,))
+    idx = jnp.floor(st * jnp.float32(n)).astype(jnp.int32)
+    ranks = jnp.clip(idx, 0, n - 1)
+
+    mean_w = None
+    if dtype == jnp.float32 and n >= _SELECT_MIN_SIZE:
+        from atq_tpu.ops.order_stat import (
+            order_stat_eligible,
+            order_statistic_reductions_batched,
+        )
+
+        if order_stat_eligible(n):
+            thr_at_idx, max_w, sum_w = order_statistic_reductions_batched(
+                flat, ranks)
+            mean_w = sum_w / jnp.float32(n)
+        else:
+            thr_at_idx = _order_statistic_f32_batched(flat, ranks)
+            max_w = jnp.max(flat, axis=1)
+    else:
+        sorted_w = jnp.sort(flat, axis=1)
+        thr_at_idx = jnp.take_along_axis(
+            sorted_w, ranks[:, None], axis=1)[:, 0]
+        max_w = sorted_w[:, n - 1]
+
+    if mean_w is None:
+        mean_w = jnp.mean(flat, axis=1)
+    thr_all_zero = max_w.astype(dtype) + jnp.asarray(1.0, dtype)
+    thr_fallback = jnp.asarray(threshold_factor, dtype) * mean_w.astype(dtype)
+    thr = jnp.where(
+        idx >= n, thr_all_zero,
+        jnp.where(idx > 0, thr_at_idx.astype(dtype), thr_fallback))
+    from jax.ad_checkpoint import checkpoint_name
+
+    return checkpoint_name(thr, THRESHOLD_NAME)
+
+
 def adaptive_ternary_quantization(
     weights: jax.Array,
     alpha: jax.Array | None = None,
@@ -178,6 +259,115 @@ def adaptive_ternary_quantization(
         alpha = optimal_alpha
 
     return w_ternary, alpha
+
+
+def adaptive_ternary_quantization_batched(
+    weights: jax.Array,
+    alpha: jax.Array | None = None,
+    threshold_factor: float = 0.05,
+    sparsity_target=0.3,
+):
+    """Batched :func:`adaptive_ternary_quantization` over a leading layer
+    axis: ``weights`` (L, ...), ``alpha`` None or broadcastable to (L,),
+    ``sparsity_target`` scalar or (L,). Returns ``(w_ternary, alpha)``
+    with ``alpha`` shaped (L,). Ternary decisions are bit-identical to
+    the per-layer function (exact threshold; strict compares); the alpha
+    reductions run per layer over axis 1..N (same sums, batched)."""
+    dtype = weights.dtype
+    lead = weights.shape[0]
+    reduce_axes = tuple(range(1, weights.ndim))
+    bshape = (lead,) + (1,) * (weights.ndim - 1)
+
+    threshold = ternary_threshold_batched(
+        weights, threshold_factor, sparsity_target).reshape(bshape)
+
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0.0, dtype)
+    w_ternary = jnp.where(
+        weights > threshold, one,
+        jnp.where(weights < -threshold, -one, zero))
+
+    nonzero = jnp.sum(w_ternary != 0, axis=reduce_axes).astype(dtype)
+    optimal_alpha = jnp.where(
+        nonzero > 0,
+        jnp.sum(weights * w_ternary, axis=reduce_axes)
+        / jnp.maximum(nonzero, one),
+        jnp.mean(jnp.abs(weights), axis=reduce_axes),
+    )
+    if alpha is None:
+        alpha = optimal_alpha
+    else:
+        alpha = jnp.broadcast_to(jnp.asarray(alpha).reshape(lead, -1)[:, 0],
+                                 (lead,))
+    return w_ternary, alpha
+
+
+def ternarize_ste_batched(
+    weights: jax.Array,
+    alpha: jax.Array | None = None,
+    threshold_factor: float = 0.05,
+    sparsity_target=0.3,
+):
+    """Batched :func:`ternarize_ste` (the STE identity is elementwise, so
+    it composes with the batched quantizer unchanged)."""
+    w_ternary, alpha = adaptive_ternary_quantization_batched(
+        weights, alpha=alpha, threshold_factor=threshold_factor,
+        sparsity_target=sparsity_target,
+    )
+    return _ste_identity(weights, w_ternary), alpha
+
+
+@jax.custom_vjp
+def _ttq_combine_batched(weights, pos_mask, neg_mask, wp, wn):
+    bshape = (weights.shape[0],) + (1,) * (weights.ndim - 1)
+    return pos_mask * wp.reshape(bshape) - neg_mask * wn.reshape(bshape)
+
+
+def _ttq_combine_batched_fwd(weights, pos_mask, neg_mask, wp, wn):
+    return (_ttq_combine_batched(weights, pos_mask, neg_mask, wp, wn),
+            (pos_mask, neg_mask, wp, wn))
+
+
+def _ttq_combine_batched_bwd(res, g):
+    pos_mask, neg_mask, wp, wn = res
+    lead = pos_mask.shape[0]
+    axes = tuple(range(1, pos_mask.ndim))
+    bshape = (lead,) + (1,) * (pos_mask.ndim - 1)
+    dead = 1.0 - pos_mask - neg_mask
+    # Per-layer TTQ rule (see _ttq_combine_bwd): mean-normalized scale
+    # grads, scale-weighted straight-through on the latent weights.
+    dw = g * (pos_mask * wp.reshape(bshape) + neg_mask * wn.reshape(bshape)
+              + dead)
+    n_pos = jnp.maximum(jnp.sum(pos_mask, axis=axes), 1.0)
+    n_neg = jnp.maximum(jnp.sum(neg_mask, axis=axes), 1.0)
+    dwp = (jnp.sum(g * pos_mask, axis=axes) / n_pos).reshape(wp.shape)
+    dwn = (-jnp.sum(g * neg_mask, axis=axes) / n_neg).reshape(wn.shape)
+    return dw, jnp.zeros_like(pos_mask), jnp.zeros_like(neg_mask), dwp, dwn
+
+
+_ttq_combine_batched.defvjp(_ttq_combine_batched_fwd,
+                            _ttq_combine_batched_bwd)
+
+
+def ternarize_ttq_batched(
+    weights: jax.Array,
+    wp: jax.Array,
+    wn: jax.Array,
+    threshold_factor: float = 0.05,
+    sparsity_target=0.3,
+):
+    """Batched :func:`ternarize_ttq` over a leading layer axis. ``wp``/
+    ``wn`` broadcastable to (L,); per-layer scale gradients use per-layer
+    mean normalization (identical to L separate ternarize_ttq calls)."""
+    lead = weights.shape[0]
+    bshape = (lead,) + (1,) * (weights.ndim - 1)
+    threshold = ternary_threshold_batched(
+        weights, threshold_factor, sparsity_target).reshape(bshape)
+    pos = (weights > threshold).astype(weights.dtype)
+    neg = (weights < -threshold).astype(weights.dtype)
+    wp = jnp.broadcast_to(jnp.asarray(wp).reshape(lead, -1)[:, 0], (lead,))
+    wn = jnp.broadcast_to(jnp.asarray(wn).reshape(lead, -1)[:, 0], (lead,))
+    return _ttq_combine_batched(weights, pos, neg, wp, wn)
 
 
 @jax.custom_vjp

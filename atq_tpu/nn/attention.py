@@ -67,19 +67,21 @@ def lengths_to_padding_mask(lengths, seq_length: int):
 
 def _proj(use_rpb: bool, features: int, precision_ratio: float,
           sparsity_target: float, name: str, grad_mode: str = "parity",
-          dtype=None):
+          dtype=None, pre_quantized: bool = False):
     """``dtype`` is the MATMUL compute dtype (autocast semantics: the
     latent weights, quantizer sort/threshold, and alpha stay f32; the
     effective weight and activations cast at the matmul — exactly what
-    torch autocast does to the reference's F.linear)."""
+    torch autocast does to the reference's F.linear). ``pre_quantized``:
+    hoisted-quantization mode (nn/hoist.py) — weights arrive already
+    effective."""
     if use_rpb:
         return ResidualPrecisionBoostLinear(
             features=features, precision_ratio=precision_ratio,
             sparsity_target=sparsity_target, name=name, grad_mode=grad_mode,
-            dtype=dtype,
+            dtype=dtype, pre_quantized=pre_quantized,
         )
     return TernaryLinear(features=features, name=name, grad_mode=grad_mode,
-                         dtype=dtype)
+                         dtype=dtype, pre_quantized=pre_quantized)
 
 
 class TernaryMultiheadAttention(nn.Module):
@@ -106,6 +108,9 @@ class TernaryMultiheadAttention(nn.Module):
     # fused path requires attn_mask=None and inactive dropout, and
     # falls back to einsum otherwise.
     attn_impl: str = "einsum"
+    # Hoisted-quantization mode (nn/hoist.py): projections consume
+    # already-effective weights (plain matmuls).
+    pre_quantized: bool = False
 
     @nn.compact
     def __call__(self, query, key, value, attn_mask=None,
@@ -123,13 +128,13 @@ class TernaryMultiheadAttention(nn.Module):
 
         q = _proj(self.use_rpb, self.embed_dim, precision_ratio,
                   initial_sparsity, "q_proj", self.grad_mode,
-                  self.dtype)(query)
+                  self.dtype, self.pre_quantized)(query)
         k = _proj(self.use_rpb, self.embed_dim, precision_ratio,
                   initial_sparsity, "k_proj", self.grad_mode,
-                  self.dtype)(key)
+                  self.dtype, self.pre_quantized)(key)
         v = _proj(self.use_rpb, self.embed_dim, precision_ratio,
                   initial_sparsity, "v_proj", self.grad_mode,
-                  self.dtype)(value)
+                  self.dtype, self.pre_quantized)(value)
 
         gradient_threshold = 0.01 if self.critical_attention else 0.05
         q = apply_selective_routing(q, threshold=gradient_threshold)
@@ -184,7 +189,7 @@ class TernaryMultiheadAttention(nn.Module):
 
         out = _proj(self.use_rpb, self.embed_dim, precision_ratio * 2,
                     initial_sparsity, "out_proj", self.grad_mode,
-                    self.dtype)(out)
+                    self.dtype, self.pre_quantized)(out)
 
         if self.critical_attention:
             out = out + 0.1 * query

@@ -212,6 +212,12 @@ class TernaryLinear(nn.Module):
     fused: Optional[bool] = None  # None = auto (fused when dtype is None)
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
+    # Hoisted-quantization mode (nn/hoist.py, ScannedTernaryStack
+    # hoist_quant=True): the 'weight' this layer reads has ALREADY been
+    # quantized/blended/cast outside the scan (nn.map_variables), so the
+    # forward is a plain matmul. Init still runs the full path (all
+    # params and quant vars are created identically).
+    pre_quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -226,7 +232,12 @@ class TernaryLinear(nn.Module):
         alpha = self.param("alpha", nn.initializers.ones, (1,),
                            self.param_dtype)
 
-        if self.grad_mode == "ttq":
+        if self.pre_quantized and not self.is_initializing():
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                weight = weight.astype(self.dtype)
+            y = jnp.matmul(x, weight.T)
+        elif self.grad_mode == "ttq":
             # Trained Ternary Quantization (PAPERS.md, arXiv:1612.01064):
             # separate learnable +/- scales with the TTQ gradient rule.
             wp = self.param(
@@ -300,6 +311,7 @@ class ResidualPrecisionBoostLinear(nn.Module):
     fused: Optional[bool] = None  # None = auto (fused when dtype is None)
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
+    pre_quantized: bool = False  # see TernaryLinear.pre_quantized
 
     @nn.compact
     def __call__(self, x):
@@ -313,6 +325,17 @@ class ResidualPrecisionBoostLinear(nn.Module):
         )
         alpha = self.param("alpha", nn.initializers.ones, (1,),
                            self.param_dtype)
+        if self.pre_quantized and not self.is_initializing():
+            # 'weight' is the hoisted effective (mask-blended) weight.
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+                weight = weight.astype(self.dtype)
+            y = jnp.matmul(x, weight.T)
+            if self.use_bias:
+                bias = self.param("bias", bias_uniform_torch(in_features),
+                                  (self.features,), self.param_dtype)
+                y = y + bias
+            return y
         mask_var = self.variable(
             "quant", "precision_mask",
             lambda: _precision_mask(weight, self.precision_ratio),

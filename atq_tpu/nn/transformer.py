@@ -39,6 +39,10 @@ class TernaryTransformerLayer(nn.Module):
     # ('intermediates', 'moe_aux_loss').
     moe_experts: int = 0
     moe_capacity_factor: float = 1.25
+    # Hoisted-quantization mode (nn/hoist.py): every ternary projection
+    # consumes an already-effective weight (plain matmul). Set by
+    # ScannedTernaryStack(hoist_quant=True); init is unaffected.
+    pre_quantized: bool = False
 
     @nn.compact
     def __call__(self, src, src_mask=None, src_key_padding_mask=None,
@@ -59,7 +63,8 @@ class TernaryTransformerLayer(nn.Module):
             dropout=self.dropout, use_rpb=self.use_rpb,
             sparsity_target=initial_sparsity, critical_attention=is_critical,
             grad_mode=self.grad_mode, dtype=self.dtype,
-            attn_impl=self.attn_impl, name="self_attn",
+            attn_impl=self.attn_impl, pre_quantized=self.pre_quantized,
+            name="self_attn",
         )(src2, src2, src2, attn_mask=src_mask,
           key_padding_mask=src_key_padding_mask, deterministic=deterministic)
         src = src + nn.Dropout(self.dropout)(
@@ -73,12 +78,12 @@ class TernaryTransformerLayer(nn.Module):
         else:
             h = _proj(self.use_rpb, self.dim_feedforward, precision_ratio,
                       initial_sparsity, "linear1", self.grad_mode,
-                      self.dtype)(src2)
+                      self.dtype, self.pre_quantized)(src2)
             h = jax.nn.gelu(h, approximate=False)
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
             src2 = _proj(self.use_rpb, self.embed_dim,
                          precision_ratio * 2, initial_sparsity, "linear2",
-                         self.grad_mode, self.dtype)(h)
+                         self.grad_mode, self.dtype, self.pre_quantized)(h)
         src = src + nn.Dropout(self.dropout)(
             src2, deterministic=deterministic
         ) * gate_value
@@ -177,6 +182,16 @@ class ScannedTernaryStack(nn.Module):
     # the ~O(tokens x width) bf16 residuals per layer fit in HBM.
     # 'full': plain remat, recompute everything (minimum memory).
     remat_policy: str = "save_quantized"
+    # Hoist the quantization OUT of the scan (nn/hoist.py): all layers'
+    # effective weights are computed once per step in one batched pass
+    # before the scan (one grid-batched threshold kernel per weight kind,
+    # one fused elementwise chain over the stacked (L, out, in) tensors),
+    # and the scan body runs pure matmuls. Bit-identical ternary
+    # decisions; forward/grad parity vs the in-scan path is pinned by
+    # tests/test_hoist.py. Measured at bert-base QAT (benchmarks/r5/):
+    # the in-scan quantize chains cost ~55 ms of a 158 ms step where the
+    # batched chain costs a few ms.
+    hoist_quant: bool = False
 
     @nn.compact
     def __call__(self, h, src_mask=None, src_key_padding_mask=None,
@@ -194,6 +209,7 @@ class ScannedTernaryStack(nn.Module):
                     sparsity_target=outer.sparsity_target,
                     layer_idx=0, grad_mode=outer.grad_mode,
                     dtype=outer.dtype, attn_impl=outer.attn_impl,
+                    pre_quantized=outer.hoist_quant,
                     name="layer",
                 )(carry, src_mask=src_mask,
                   src_key_padding_mask=src_key_padding_mask,
@@ -224,6 +240,17 @@ class ScannedTernaryStack(nn.Module):
             split_rngs={"params": True, "dropout": True},
             length=self.num_layers,
         )
+        if self.hoist_quant and not self.is_initializing():
+            from atq_tpu.nn.hoist import make_hoist_transform
+
+            quant_tree = (self.get_variable("quant", "scan")
+                          if self.has_variable("quant", "scan") else {})
+            stack = nn.map_variables(
+                stack, ["params"],
+                trans_in_fn=make_hoist_transform(
+                    quant_tree, self.grad_mode, self.dtype),
+                init=False,
+            )
         if self.dtype is not None:
             h = h.astype(self.dtype)
         h, _ = stack(name="scan")(h, None)

@@ -135,6 +135,112 @@ def order_stat_eligible(n: int) -> bool:
     return on_tpu and n * 4 <= _VMEM_BITS_BUDGET
 
 
+def _batched_kernel(bits_hbm, rank_ref, stat_ref, agg_ref, scratch, sem):
+    """Grid-batched variant of :func:`_kernel`: each grid step owns one
+    layer of the stacked (L, rows, 128) bit tensor. The stack stays in
+    HBM (``ANY``) and each layer is DMA'd into ONE VMEM scratch — with a
+    blocked VMEM input, Pallas double-buffers the 9 MB bert-ffn layer
+    block and blows the 16 MB scoped-vmem limit; the manual copy costs
+    ~11 us/layer against ~150+ us of bisection compute. Scalar refs are
+    UNBLOCKED SMEM arrays indexed by program_id (partially-blocked SMEM
+    scalars trip the TPU lowering's (8, 128) tiling constraint)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    layer = pl.program_id(0)
+    dma = pltpu.make_async_copy(bits_hbm.at[layer], scratch, sem)
+    dma.start()
+    dma.wait()
+
+    target = rank_ref[layer] + 1
+    n_chunks = scratch.shape[0] // _ROW_CHUNK
+
+    def count_le(mid):
+        def chunk(i, acc):
+            blk = scratch[pl.ds(i * _ROW_CHUNK, _ROW_CHUNK), :]
+            return acc + jnp.sum((blk <= mid).astype(jnp.int32),
+                                 axis=0, keepdims=True)
+
+        vec = jax.lax.fori_loop(
+            0, n_chunks, chunk, jnp.zeros((1, 128), jnp.int32))
+        return jnp.sum(vec)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // jnp.uint32(2)
+        ge = count_le(mid) >= target
+        return (jnp.where(ge, lo, mid + jnp.uint32(1)),
+                jnp.where(ge, mid, hi))
+
+    lo = jnp.uint32(0)
+    hi = jnp.uint32(0x7F800000)
+    lo, hi = jax.lax.fori_loop(0, 31, body, (lo, hi))
+    stat_ref[layer] = hi.astype(jnp.int32)
+
+    def agg_chunk(i, carry):
+        m, s = carry
+        blk = scratch[pl.ds(i * _ROW_CHUNK, _ROW_CHUNK), :]
+        finite = blk <= jnp.uint32(0x7F800000)
+        vals = jnp.where(
+            finite, jax.lax.bitcast_convert_type(blk, jnp.float32), 0.0)
+        return (jnp.maximum(m, jnp.max(vals, axis=0, keepdims=True)),
+                s + jnp.sum(vals, axis=0, keepdims=True))
+
+    zero = jnp.zeros((1, 128), jnp.float32)
+    mx, sm = jax.lax.fori_loop(0, n_chunks, agg_chunk, (zero, zero))
+    agg_ref[layer, 0] = jnp.max(mx)
+    agg_ref[layer, 1] = jnp.sum(sm)
+
+
+@jax.jit
+def _pallas_select_batched(bits3d, ranks):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from atq_tpu.ops.ternary_matmul import pallas_interpret
+
+    lead, rows, cols = bits3d.shape
+    stat_bits, agg = pl.pallas_call(
+        _batched_kernel,
+        grid=(lead,),
+        out_shape=(
+            jax.ShapeDtypeStruct((lead,), jnp.int32),
+            jax.ShapeDtypeStruct((lead, 2), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows, cols), jnp.uint32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=pallas_interpret(),
+    )(bits3d, ranks.astype(jnp.int32))
+    stat = jax.lax.bitcast_convert_type(stat_bits, jnp.float32)
+    return stat, agg[:, 0], agg[:, 1]
+
+
+def order_statistic_reductions_batched(abs2d: jax.Array, ranks: jax.Array):
+    """Per-layer ``(sorted(abs2d[l])[ranks[l]], max, sum)`` for a stacked
+    (L, n) non-negative float32 tensor in ONE grid-batched kernel launch
+    (vs L separate :func:`order_statistic_reductions` launches — the
+    hoisted-quantization path of ScannedTernaryStack computes every
+    layer's threshold here before the scan). Returns three (L,) arrays."""
+    lead, n = abs2d.shape
+    bits = jax.lax.bitcast_convert_type(abs2d, jnp.uint32)
+    cols = 128
+    rows = -(-n // cols)
+    rows = -(-rows // _ROW_CHUNK) * _ROW_CHUNK
+    pad = rows * cols - n
+    if pad:
+        bits = jnp.concatenate(
+            [bits, jnp.full((lead, pad), _PAD_BITS, jnp.uint32)], axis=1)
+    return _pallas_select_batched(bits.reshape(lead, rows, cols), ranks)
+
+
 def order_statistic_reductions(abs_flat: jax.Array, rank: jax.Array):
     """``(sorted(abs_flat)[rank], max(abs_flat), sum(abs_flat))`` in one
     kernel launch. ``abs_flat`` must be non-negative float32."""

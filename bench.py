@@ -120,7 +120,7 @@ def bench_tpu() -> float:
 # normalizing every headline by (anchor / this session's calibration)
 # makes round-over-round comparisons legible. Anchor measured 2026-08-20
 # (benchmarks/r5/calibration_anchor.json).
-CALIBRATION_ANCHOR_MS = 11.19
+CALIBRATION_ANCHOR_MS = 11.80
 
 
 def bench_calibration() -> float:

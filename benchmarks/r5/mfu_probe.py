@@ -221,6 +221,118 @@ def probe_dense(iters):
             "note": "plain flax Dense encoder, dots-saveable remat"}
 
 
+def probe_hoist(iters):
+    """Hoisted-quantization step (nn/hoist.py): quantize once per step
+    outside the scan, body is pure matmuls."""
+    sm = _load_scale_mfu()
+    spec = BERT_BASE + (True, True)
+    row = sm.measure("bert-base", spec, iters=iters,
+                     remat_policy="save_dots", attn_impl="einsum",
+                     hoist_quant=True)
+    row["note"] = "hoist_quant=True"
+    return row
+
+
+def probe_hoistraw(iters):
+    """Hoisted structure with the quantize chain REPLACED by a cast-only
+    transform (raw f32 weights straight to the matmul dtype). Splits the
+    remaining QAT-vs-dense gap into (a) TernaryTransformerLayer structure
+    (W.T layout, gates, extra casts, optimizer extras) vs (b) the batched
+    quantize chain fwd+bwd. NOT semantics-preserving — an instrument."""
+    import atq_tpu.nn.hoist as H
+
+    def cast_only(node, quant_node, grad_mode, dtype):
+        w = node["weight"]
+        return w.astype(dtype) if dtype is not None else w
+
+    H._effective_weight = cast_only
+    sm = _load_scale_mfu()
+    spec = BERT_BASE + (True, True)
+    row = sm.measure("bert-base", spec, iters=iters,
+                     remat_policy="save_dots", attn_impl="einsum",
+                     hoist_quant=True)
+    row["note"] = "hoist transform = cast-only (quantize chain removed)"
+    return row
+
+
+def probe_profile_hoist(iters):
+    """Op-level trace of the HOISTED step: what the remaining gap vs the
+    dense ceiling (102.5 ms) actually is once quantization is out of the
+    scan."""
+    sm = _load_scale_mfu()
+    spec = BERT_BASE + (True, True)
+    step, step_fn, state, _ = sm.build_step(
+        *spec, remat_policy="save_dots", attn_impl="einsum",
+        hoist_quant=True)
+
+    from atq_tpu.utils.profile_step import profile_fn
+
+    holder = {"s": state}
+
+    def once():
+        holder["s"], loss = step(holder["s"])
+        return loss
+
+    stats = profile_fn(once, iters=8, top=40)
+    return {"config": "bert-base", "kind": "profile-hoist",
+            "ops": [{"name": s.name, "total_us": s.total_us,
+                     "count": s.count, "pct": s.pct} for s in stats]}
+
+
+REF_SCALE = (128, 512, 8, 4, 50, 256)  # embed ffn heads layers seq batch
+
+
+def probe_profile_ref(iters):
+    """Op-level trace of the ref-scale step (the reference's own model
+    shape, 6.6% MFU): name the fixed cost (VERDICT round-4 item 2)."""
+    sm = _load_scale_mfu()
+    spec = REF_SCALE + (False, False)
+    step, step_fn, state, _ = sm.build_step(*spec, attn_impl="einsum")
+
+    from atq_tpu.utils.profile_step import profile_fn
+
+    holder = {"s": state}
+
+    def once():
+        holder["s"], loss = step(holder["s"])
+        return loss
+
+    stats = profile_fn(once, iters=16, top=40)
+    return {"config": "ref-scale", "kind": "profile-ref",
+            "ops": [{"name": s.name, "total_us": s.total_us,
+                     "count": s.count, "pct": s.pct} for s in stats]}
+
+
+def probe_reffixthr(iters):
+    """ref-scale with the threshold pinned: upper bound on what removing
+    every order-stat/sort could buy at the reference's own shape."""
+    import jax.numpy as jnp
+
+    import atq_tpu.core.quantize as Q
+    import atq_tpu.nn.layers as L
+
+    def fixed_threshold(weights, threshold_factor=0.05, sparsity_target=0.3):
+        return jnp.asarray(0.02, weights.dtype)
+
+    Q.ternary_threshold = fixed_threshold
+    L.ternary_threshold = fixed_threshold
+    sm = _load_scale_mfu()
+    spec = REF_SCALE + (False, False)
+    row = sm.measure("ref-scale", spec, iters=max(iters, 16),
+                     attn_impl="einsum")
+    row["note"] = "ternary_threshold pinned to 0.02 (order-stat removed)"
+    return row
+
+
+def probe_refbase(iters):
+    """ref-scale baseline re-measure in the same session as the other
+    ref probes (cross-session dispersion control)."""
+    sm = _load_scale_mfu()
+    spec = REF_SCALE + (False, False)
+    return sm.measure("ref-scale", spec, iters=max(iters, 16),
+                      attn_impl="einsum")
+
+
 PROBES = {
     "baseline": probe_baseline,
     "noremat": probe_noremat,
@@ -228,6 +340,12 @@ PROBES = {
     "dense": probe_dense,
     "profqat": probe_profile_qat,
     "profdense": probe_profile_dense,
+    "hoist": probe_hoist,
+    "hoistraw": probe_hoistraw,
+    "profhoist": probe_profile_hoist,
+    "profref": probe_profile_ref,
+    "reffixthr": probe_reffixthr,
+    "refbase": probe_refbase,
 }
 
 

@@ -74,7 +74,8 @@ def analytic_step_flops(embed, ffn, heads, layers, seq, batch):
 
 def build_step(embed, ffn, heads, layers, seq, batch, remat, scan,
                use_amp=True, grad_mode="ste",
-               remat_policy="save_quantized", attn_impl="einsum"):
+               remat_policy="save_quantized", attn_impl="einsum",
+               hoist_quant=False):
     import flax.linen as nn
     import jax
     import jax.numpy as jnp
@@ -97,6 +98,7 @@ def build_step(embed, ffn, heads, layers, seq, batch, remat, scan,
                     sparsity_target=0.3, grad_mode=grad_mode,
                     dtype=dtype, remat=remat,
                     remat_policy=remat_policy, attn_impl=attn_impl,
+                    hoist_quant=hoist_quant,
                     name="layers",
                 )(x, deterministic=True)
             else:
@@ -164,7 +166,8 @@ def build_step(embed, ffn, heads, layers, seq, batch, remat, scan,
 
 
 def measure(name, spec, use_amp=True, iters=8,
-            remat_policy="save_quantized", attn_impl="einsum"):
+            remat_policy="save_quantized", attn_impl="einsum",
+            hoist_quant=False):
     import jax
 
     from atq_tpu.utils.flops import compiled_flops, mfu
@@ -173,7 +176,8 @@ def measure(name, spec, use_amp=True, iters=8,
     embed, ffn, heads, layers, seq, batch, remat, scan = spec
     step, step_fn, state, n_params = build_step(
         embed, ffn, heads, layers, seq, batch, remat, scan,
-        use_amp=use_amp, remat_policy=remat_policy, attn_impl=attn_impl)
+        use_amp=use_amp, remat_policy=remat_policy, attn_impl=attn_impl,
+        hoist_quant=hoist_quant)
     dt, state = steady_state_sec_per_step(step_fn, state, (), warmup=2,
                                           iters=iters)
     abstract = jax.tree_util.tree_map(
@@ -188,6 +192,7 @@ def measure(name, spec, use_amp=True, iters=8,
         "scan": scan, "use_amp": use_amp,
         "remat_policy": remat_policy if (remat and scan) else None,
         "attn_impl": attn_impl,
+        "hoist_quant": bool(hoist_quant and scan),
         "params_millions": n_params / 1e6,
         "ms_per_step": dt * 1000,
         "tokens_per_sec": tokens_per_step / dt,
@@ -220,6 +225,11 @@ def main():
                         help="scanned-stack remat policy (save_dots "
                              "additionally keeps projection-matmul "
                              "outputs: no matmul recompute in backward)")
+    parser.add_argument("--hoist", action="store_true",
+                        help="hoist quantization out of the scan "
+                             "(nn/hoist.py): all layers' effective "
+                             "weights in one batched pass before the "
+                             "scan; scan body is pure matmuls")
     args = parser.parse_args()
 
     names = args.configs or (["ref-scale", "bert-base"] if args.quick
@@ -240,7 +250,8 @@ def main():
                     spec = spec[:5] + (args.batch,) + spec[6:]
                 row = measure(name, spec, use_amp=use_amp,
                               remat_policy=args.remat_policy,
-                              attn_impl=args.attn)
+                              attn_impl=args.attn,
+                              hoist_quant=args.hoist)
             except Exception as e:
                 row = {"config": name, "use_amp": use_amp, "error": str(e)}
             print(row, flush=True)
