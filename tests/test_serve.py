@@ -284,3 +284,50 @@ def test_packed_eval_metrics_match_dense_within_1pt():
     for k in m_dense:
         assert abs(m_dense[k] - m_packed[k]) <= 1.0, (
             f"{k}: dense {m_dense[k]} vs packed {m_packed[k]}")
+
+
+def test_composed_int8_plus_packed_serving_path():
+    """Round-5 composed deployment: int8 trunk AND 2-bit packed ATQ layers
+    in ONE embed program (serve.py --packed with the default int8 trunk).
+    The whole image tower serves from integer weights; embeddings must
+    stay within serving drift of dense (cos distance ~1e-3 class)."""
+    from atq_tpu.models.retrieval import ATQMultimodalRetrieval
+    from atq_tpu.serve.int8_trunk import export_int8_collection
+    from atq_tpu.serve.packed_model import export_packed_collection
+    from atq_tpu.train.retrieval import build_embed_fn
+
+    model = ATQMultimodalRetrieval(vocab_size=60, embed_dim=32,
+                                   hidden_dim=64, use_residual=True,
+                                   max_seq_length=12)
+    rng = jax.random.PRNGKey(5)
+    v = model.init(rng, jnp.zeros((1, 64, 64, 3)),
+                   jnp.zeros((1, 12), jnp.int32), jnp.asarray([5]))
+    state = {"params": v["params"], "quant": v.get("quant", {}),
+             "constants": v.get("constants", {}),
+             "batch_stats": v.get("batch_stats", {}),
+             "ema_params": v["params"]}
+    packed = export_packed_collection(v["params"], v.get("quant"))
+    int8 = export_int8_collection(v["params"], v.get("batch_stats", {}))
+    assert packed and int8
+
+    rngd = np.random.RandomState(0)
+    batch = (jnp.asarray(rngd.randn(4, 64, 64, 3).astype(np.float32)),
+             jnp.asarray(rngd.randint(0, 60, (4, 12)), jnp.int32),
+             jnp.full((4,), 8, jnp.int32))
+
+    dense = build_embed_fn(model)
+    composed = build_embed_fn(model, packed=packed, int8=int8)
+    img_d, txt_d = (np.asarray(x) for x in dense(state, batch))
+    img_c, txt_c = (np.asarray(x) for x in composed(state, batch))
+
+    def cos_drift(a, b):
+        a = a / np.linalg.norm(a, axis=1, keepdims=True)
+        b = b / np.linalg.norm(b, axis=1, keepdims=True)
+        return float(1.0 - np.mean(np.sum(a * b, axis=1)))
+
+    assert img_c.shape == img_d.shape and txt_c.shape == txt_d.shape
+    assert np.isfinite(img_c).all() and np.isfinite(txt_c).all()
+    # int8 trunk alone measured ~1.1e-4 mean-cos drift (docs/SERVING.md);
+    # composed adds the exact packed planes, so the bound stays small.
+    assert cos_drift(img_d, img_c) < 5e-3
+    assert cos_drift(txt_d, txt_c) < 5e-3
